@@ -1,0 +1,43 @@
+"""Model zoo. A plain registry keyed by name replaces the reference's
+string-plugin loader (``altfreezing/utils/plugin_loader.py:16``)."""
+
+from typing import Any, Callable, Dict
+
+MODEL_REGISTRY: Dict[str, Callable[..., Any]] = {}
+
+
+def register_model(name: str):
+    def deco(fn):
+        MODEL_REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def build_model(name: str, *args, **kwargs):
+    if name not in MODEL_REGISTRY:
+        raise KeyError(f"unknown model {name!r}; have {sorted(MODEL_REGISTRY)}")
+    return MODEL_REGISTRY[name](*args, **kwargs)
+
+
+from . import i3d as _i3d  # noqa: E402
+from ..config import I3DConfig as _I3DConfig  # noqa: E402
+
+
+@register_model("i3d_ori")
+def _build_i3d(cfg=None, **kw):
+    """The production AltFreezing classifier (reference model/classifier/i3d_ori.py:112)."""
+    return _i3d.I3D(cfg=cfg or _I3DConfig(), **kw)
+
+
+@register_model("ftcn_tt")
+def _build_ftcn(cfg=None, **kw):
+    """FTCN temporal-only variant (reference i3d_temporal_var_fix_dropout_tt_cfg.py)."""
+    from .ftcn import FTCN
+    from ..config import I3DConfig
+    import dataclasses
+
+    base = cfg or _I3DConfig()
+    if not base.temporal_only:
+        base = dataclasses.replace(base, temporal_only=True)
+    return FTCN(cfg=base, **kw)

@@ -1,0 +1,403 @@
+"""I3D-ResNet50 spatiotemporal classifier — the production AltFreezing model.
+
+TPU-native reimplementation of the reference network (structure documented at
+reference ``slowfast/models/video_model_builder.py:391`` (ResNet), stem at
+``stem_helper.py:102``, bottleneck at ``resnet_helper.py:196``, head at
+``head_helper.py:9``, wrapped by ``model/classifier/i3d_ori.py:72`` (I3D8x8)).
+
+Design choices for TPU:
+
+- **Channels-last layout** ``[B, T, H, W, C]`` end to end (NDHWC), the native
+  XLA-TPU convolution layout, instead of the reference's NCTHW.
+- All convolutions lower to ``lax.conv_general_dilated`` which XLA tiles onto
+  the MXU; elementwise BN/ReLU chains fuse into the conv epilogues.
+- Optional ``dtype=bfloat16`` compute with float32 params/statistics.
+- Sync-BatchNorm across the data mesh axis expressed with ``axis_name`` —
+  the JAX-native equivalent of the reference's ``NaiveSyncBatchNorm3d``
+  (``slowfast/models/batchnorm_helper.py:112``): flax's BatchNorm computes
+  cross-replica statistics with ``lax.pmean`` when an axis name is given.
+
+Parameter tree names intentionally mirror the reference's ``state_dict`` keys
+(``s1/pathway0_stem/conv`` …) so checkpoint conversion is a pure name map
+(see ``stdd_tpu/utils/torch_convert.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import I3DConfig
+
+Dtype = Any
+
+# Stage depths for ResNet-{18,50,101} (video_model_builder.py:18)
+STAGE_DEPTH = {18: (2, 2, 2, 2), 50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
+
+
+def _msra_conv_init(key, shape, dtype=jnp.float32):
+    """Caffe2-style MSRA fill (fan_out over [kt,kh,kw,cout]); matches
+    ``fvcore.nn.weight_init.c2_msra_fill`` used at weight_init_helper.py:28."""
+    fan_out = shape[0] * shape[1] * shape[2] * shape[4]
+    std = jnp.sqrt(2.0 / fan_out)
+    return jax.random.normal(key, shape, dtype) * std
+
+
+class Conv3dBN(nn.Module):
+    """conv3d (no bias) → BatchNorm, with optional zero-init of the BN scale."""
+
+    features: int
+    kernel: Tuple[int, int, int]
+    stride: Tuple[int, int, int] = (1, 1, 1)
+    padding: Optional[Sequence[Tuple[int, int]]] = None  # None = SAME-like from kernel
+    zero_init_scale: bool = False
+    bn_eps: float = 1e-5
+    bn_momentum: float = 0.1
+    axis_name: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = self.padding
+        if pad is None:
+            pad = [(k // 2, k // 2) for k in self.kernel]
+        x = nn.Conv(
+            features=self.features,
+            kernel_size=self.kernel,
+            strides=self.stride,
+            padding=pad,
+            use_bias=False,
+            kernel_init=_msra_conv_init,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=1.0 - self.bn_momentum,  # flax decay = 1 - torch momentum
+            epsilon=self.bn_eps,
+            scale_init=nn.initializers.zeros if self.zero_init_scale else nn.initializers.ones,
+            axis_name=self.axis_name if train else None,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="bn",
+        )(x)
+        return x
+
+
+def max_pool_3d(x, window, strides, padding):
+    """3D max pool over [B,T,H,W,C]; padding is per-spatial-dim (lo,hi) pairs."""
+    return nn.max_pool(x, window_shape=window, strides=strides, padding=padding)
+
+
+class VideoStem(nn.Module):
+    """s1: conv [t,7,7] stride [1,2,2] → BN → ReLU → maxpool [1,3,3]/[1,2,2]
+    (reference stem_helper.py:156-171)."""
+
+    features: int
+    temp_kernel: int
+    bn_eps: float
+    bn_momentum: float
+    axis_name: Optional[str]
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        t = self.temp_kernel
+        x = Conv3dBN(
+            features=self.features,
+            kernel=(t, 7, 7),
+            stride=(1, 2, 2),
+            padding=[(t // 2, t // 2), (3, 3), (3, 3)],
+            bn_eps=self.bn_eps,
+            bn_momentum=self.bn_momentum,
+            axis_name=self.axis_name,
+            dtype=self.dtype,
+            name="pathway0_stem",
+        )(x, train)
+        x = nn.relu(x)
+        x = max_pool_3d(x, (1, 3, 3), (1, 2, 2), [(0, 0), (1, 1), (1, 1)])
+        return x
+
+
+class Bottleneck(nn.Module):
+    """Tx1x1 → 1x3x3 (spatial stride here) → 1x1x1, BN after each
+    (reference resnet_helper.py:196 BottleneckTransform).
+
+    When ``spatial_1x1`` is set, the middle conv collapses to 1x1x1 — the FTCN
+    "temporal-only" variant (reference i3d_temporal_var_fix_dropout_tt_cfg.py:207).
+    """
+
+    dim_out: int
+    dim_inner: int
+    temp_kernel_size: int
+    stride: int
+    zero_init_final_bn: bool
+    bn_eps: float
+    bn_momentum: float
+    axis_name: Optional[str]
+    dtype: Dtype
+    spatial_1x1: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        tk = self.temp_kernel_size
+        x = Conv3dBN(
+            features=self.dim_inner,
+            kernel=(tk, 1, 1),
+            stride=(1, 1, 1),
+            padding=[(tk // 2, tk // 2), (0, 0), (0, 0)],
+            bn_eps=self.bn_eps,
+            bn_momentum=self.bn_momentum,
+            axis_name=self.axis_name,
+            dtype=self.dtype,
+            name="a",
+        )(x, train)
+        x = nn.relu(x)
+        ks = 1 if self.spatial_1x1 else 3
+        x = Conv3dBN(
+            features=self.dim_inner,
+            kernel=(1, ks, ks),
+            stride=(1, self.stride, self.stride),
+            padding=[(0, 0), (ks // 2, ks // 2), (ks // 2, ks // 2)],
+            bn_eps=self.bn_eps,
+            bn_momentum=self.bn_momentum,
+            axis_name=self.axis_name,
+            dtype=self.dtype,
+            name="b",
+        )(x, train)
+        x = nn.relu(x)
+        x = Conv3dBN(
+            features=self.dim_out,
+            kernel=(1, 1, 1),
+            stride=(1, 1, 1),
+            padding=[(0, 0), (0, 0), (0, 0)],
+            zero_init_scale=self.zero_init_final_bn,
+            bn_eps=self.bn_eps,
+            bn_momentum=self.bn_momentum,
+            axis_name=self.axis_name,
+            dtype=self.dtype,
+            name="c",
+        )(x, train)
+        return x
+
+
+class ResBlock(nn.Module):
+    """Residual block with projection shortcut when dims/stride change
+    (reference resnet_helper.py:329)."""
+
+    dim_in: int
+    dim_out: int
+    dim_inner: int
+    temp_kernel_size: int
+    stride: int
+    zero_init_final_bn: bool
+    bn_eps: float
+    bn_momentum: float
+    axis_name: Optional[str]
+    dtype: Dtype
+    spatial_1x1: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        branch2 = Bottleneck(
+            dim_out=self.dim_out,
+            dim_inner=self.dim_inner,
+            temp_kernel_size=self.temp_kernel_size,
+            stride=self.stride,
+            zero_init_final_bn=self.zero_init_final_bn,
+            bn_eps=self.bn_eps,
+            bn_momentum=self.bn_momentum,
+            axis_name=self.axis_name,
+            dtype=self.dtype,
+            spatial_1x1=self.spatial_1x1,
+            name="branch2",
+        )(x, train)
+        if self.dim_in != self.dim_out or self.stride != 1:
+            shortcut = Conv3dBN(
+                features=self.dim_out,
+                kernel=(1, 1, 1),
+                stride=(1, self.stride, self.stride),
+                padding=[(0, 0), (0, 0), (0, 0)],
+                bn_eps=self.bn_eps,
+                bn_momentum=self.bn_momentum,
+                axis_name=self.axis_name,
+                dtype=self.dtype,
+                name="shortcut",
+            )(x, train)
+        else:
+            shortcut = x
+        return nn.relu(shortcut + branch2)
+
+
+def stage_temp_kernels(basis: Sequence[int], num_blocks: int, num_temp: int) -> Tuple[int, ...]:
+    """Per-block temporal kernels: tile the basis, truncate to ``num_temp``
+    blocks, pad the rest with 1 (reference resnet_helper.py:530-534)."""
+    tiled = (tuple(basis) * num_blocks)[:num_temp]
+    return tiled + (1,) * (num_blocks - num_temp)
+
+
+class ResStage(nn.Module):
+    """One stage of the 3D ResNet (reference resnet_helper.py:447)."""
+
+    dim_in: int
+    dim_out: int
+    dim_inner: int
+    temp_kernel_basis: Tuple[int, ...]
+    num_blocks: int
+    num_block_temp_kernel: int
+    stride: int
+    zero_init_final_bn: bool
+    bn_eps: float
+    bn_momentum: float
+    axis_name: Optional[str]
+    dtype: Dtype
+    spatial_1x1: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        tks = stage_temp_kernels(self.temp_kernel_basis, self.num_blocks, self.num_block_temp_kernel)
+        for i in range(self.num_blocks):
+            x = ResBlock(
+                dim_in=self.dim_in if i == 0 else self.dim_out,
+                dim_out=self.dim_out,
+                dim_inner=self.dim_inner,
+                temp_kernel_size=tks[i],
+                stride=self.stride if i == 0 else 1,
+                zero_init_final_bn=self.zero_init_final_bn,
+                bn_eps=self.bn_eps,
+                bn_momentum=self.bn_momentum,
+                axis_name=self.axis_name,
+                dtype=self.dtype,
+                spatial_1x1=self.spatial_1x1,
+                name=f"pathway0_res{i}",
+            )(x, train)
+        return x
+
+
+class I3DHead(nn.Module):
+    """Global avg pool → dropout → linear → logits (reference head_helper.py:9).
+    The reference head's activation is commented out: raw logits come out and
+    callers apply sigmoid (demo.py:328)."""
+
+    num_classes: int
+    dropout_rate: float
+    fc_init_std: float
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # x: [B, T', H', W', C] — average over all spatiotemporal positions.
+        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3))
+        if self.dropout_rate > 0:
+            x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        x = nn.Dense(
+            self.num_classes,
+            kernel_init=nn.initializers.normal(stddev=self.fc_init_std),
+            bias_init=nn.initializers.zeros,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            name="projection",
+        )(x)
+        return x
+
+
+class I3D(nn.Module):
+    """The full I3D-ResNet: s1 → s2 → T-maxpool → s3 → s4 → s5 → head.
+
+    Input:  ``[B, T, H, W, 3]`` float (already normalized).
+    Output: ``[B, num_classes]`` raw logits.
+    """
+
+    cfg: I3DConfig
+    axis_name: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.cfg
+        d2, d3, d4, d5 = STAGE_DEPTH[c.depth]
+        w = c.width_per_group
+        dim_inner = c.num_groups * w
+        bn = dict(
+            zero_init_final_bn=c.zero_init_final_bn,
+            bn_eps=c.bn_eps,
+            bn_momentum=c.bn_momentum,
+            axis_name=self.axis_name,
+            dtype=self.dtype,
+        )
+
+        x = x.astype(self.dtype)
+        x = VideoStem(
+            features=w,
+            temp_kernel=c.temp_kernel[0][0],
+            bn_eps=c.bn_eps,
+            bn_momentum=c.bn_momentum,
+            axis_name=self.axis_name,
+            dtype=self.dtype,
+            name="s1",
+        )(x, train)
+
+        stages = [
+            # (name, dim_in, dim_out, dim_inner, basis, blocks, n_temp, stride, spatial_1x1)
+            ("s2", w, w * 4, dim_inner, c.temp_kernel[1], d2, c.num_block_temp_kernel[0], c.spatial_strides[0]),
+            ("s3", w * 4, w * 8, dim_inner * 2, c.temp_kernel[2], d3, c.num_block_temp_kernel[1], c.spatial_strides[1]),
+            ("s4", w * 8, w * 16, dim_inner * 4, c.temp_kernel[3], d4, c.num_block_temp_kernel[2], c.spatial_strides[2]),
+            ("s5", w * 16, w * 32, dim_inner * 8, c.temp_kernel[4], d5, c.num_block_temp_kernel[3], c.spatial_strides[3]),
+        ]
+        n_stages = min(len(stages), max(1, c.stop_point - 1)) if c.temporal_only else len(stages)
+        for si, (name, di, do, dinner, basis, blocks, ntemp, stride) in enumerate(stages[:n_stages]):
+            x = ResStage(
+                dim_in=di,
+                dim_out=do,
+                dim_inner=dinner,
+                temp_kernel_basis=tuple(basis),
+                num_blocks=blocks,
+                num_block_temp_kernel=ntemp,
+                stride=stride,
+                spatial_1x1=c.temporal_only,
+                name=name,
+                **bn,
+            )(x, train)
+            if si == 0 and c.t_pool_after_s2 > 1:
+                # pathway0_pool: MaxPool3d [2,1,1] (video_model_builder.py:477)
+                x = max_pool_3d(
+                    x,
+                    (c.t_pool_after_s2, 1, 1),
+                    (c.t_pool_after_s2, 1, 1),
+                    [(0, 0), (0, 0), (0, 0)],
+                )
+
+        x = I3DHead(
+            num_classes=c.num_classes,
+            dropout_rate=c.dropout_rate,
+            fc_init_std=c.fc_init_std,
+            dtype=self.dtype,
+            name="head",
+        )(x, train)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# Convenience: normalization + scoring wrappers (reference demo.py:84-87,
+# TEST2.py:147-149 — identical ImageNet constants in three places).
+
+IMAGENET_MEAN = jnp.array([0.485 * 255, 0.456 * 255, 0.406 * 255], dtype=jnp.float32)
+IMAGENET_STD = jnp.array([0.229 * 255, 0.224 * 255, 0.225 * 255], dtype=jnp.float32)
+
+
+def normalize_clip(x_uint8):
+    """``uint8 [.., H, W, 3]`` RGB → ImageNet-normalized float32."""
+    return (x_uint8.astype(jnp.float32) - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def make_forward(model: I3D, train: bool = False):
+    """Return ``f(variables, clips) -> logits`` suitable for ``jax.jit``."""
+
+    def fwd(variables, clips):
+        return model.apply(variables, clips, train=train)
+
+    return fwd

@@ -1,0 +1,108 @@
+"""I3D-ResNet50 parity and shape tests.
+
+The key test here converts randomly-initialized weights from the REFERENCE
+torch model into flax variables and asserts logit parity of the forward pass
+— the strongest available oracle given the reference ships no trained I3D
+checkpoint."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stdd_tpu.config import I3DConfig
+from stdd_tpu.models.i3d import I3D, normalize_clip, stage_temp_kernels
+from stdd_tpu.utils.torch_convert import i3d_torch_to_flax
+
+
+# Small network config for fast tests: 8 frames, 64px crops.
+SMALL = I3DConfig(num_frames=8, crop_size=64)
+
+
+def test_stage_temp_kernels():
+    # reference resnet_helper.py:530-534 semantics
+    assert stage_temp_kernels((3,), 3, 3) == (3, 3, 3)
+    assert stage_temp_kernels((3, 1), 4, 4) == (3, 1, 3, 1)
+    assert stage_temp_kernels((3, 1), 6, 6) == (3, 1, 3, 1, 3, 1)
+    assert stage_temp_kernels((1, 3), 3, 3) == (1, 3, 1)
+    assert stage_temp_kernels((3,), 4, 2) == (3, 3, 1, 1)
+
+
+def test_forward_shape_and_param_count():
+    model = I3D(cfg=SMALL)
+    x = jnp.zeros((2, 8, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    logits = model.apply(variables, x, train=False)
+    assert logits.shape == (2, 1)
+    n_params = sum(p.size for p in jax.tree.leaves(variables["params"]))
+    # I3D-R50 single-class: matches the reference's 104.2 MB fp32 checkpoint
+    # (BASELINE.md model-size row): ~26.1M params.
+    assert 25e6 < n_params < 28e6, n_params
+
+
+def test_normalize_clip():
+    x = jnp.full((1, 2, 4, 4, 3), 128, jnp.uint8)
+    y = normalize_clip(x)
+    expected = (128.0 - np.array([0.485, 0.456, 0.406]) * 255) / (
+        np.array([0.229, 0.224, 0.225]) * 255
+    )
+    np.testing.assert_allclose(np.asarray(y)[0, 0, 0, 0], expected, rtol=1e-5)
+
+
+@pytest.mark.parametrize("num_frames,crop", [(8, 64)])
+def test_parity_with_reference_torch(num_frames, crop):
+    """Forward-pass parity against the reference torch implementation with
+    identical (randomly initialized) weights."""
+    torch = pytest.importorskip("torch")
+    from tests.oracles.ref_i3d import build_reference_i3d
+
+    ref = build_reference_i3d(num_frames=num_frames, crop_size=crop, seed=0)
+    variables = i3d_torch_to_flax(ref.state_dict())
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 3, num_frames, crop, crop).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = ref([torch.from_numpy(x)]).numpy()
+
+    cfg = I3DConfig(num_frames=num_frames, crop_size=crop)
+    model = I3D(cfg=cfg)
+    x_jax = jnp.asarray(x.transpose(0, 2, 3, 4, 1))  # NCTHW -> NTHWC
+    out = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        x_jax,
+        train=False,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref_out, rtol=1e-4, atol=1e-4)
+
+
+def test_train_mode_runs_and_updates_stats():
+    model = I3D(cfg=SMALL)
+    x = jnp.ones((2, 8, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out, mutated = model.apply(
+        variables,
+        x,
+        train=True,
+        mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    assert out.shape == (2, 1)
+    # running stats must have moved away from init (mean 0)
+    moved = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        variables["batch_stats"],
+        mutated["batch_stats"],
+    )
+    assert max(jax.tree.leaves(moved)) > 0
+
+
+def test_bfloat16_forward_close_to_fp32():
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 64, 64, 3), jnp.float32)
+    m32 = I3D(cfg=SMALL, dtype=jnp.float32)
+    variables = m32.init(jax.random.PRNGKey(0), x, train=False)
+    out32 = m32.apply(variables, x, train=False)
+    m16 = I3D(cfg=SMALL, dtype=jnp.bfloat16)
+    out16 = m16.apply(variables, x, train=False)
+    assert jnp.abs(out32 - out16).max() < 0.2
