@@ -1,0 +1,87 @@
+"""Clip-scoring service: fused align → normalize → I3D → sigmoid on device.
+
+Replaces the reference's ``ClassifierSvc.infer_scores`` + host-side cv2 align
+loop (TEST2.py:139-150, faster_crop_align_xray.py:21): the whole chain —
+similarity solve, batched warp, ImageNet normalization, the 3D-CNN forward and
+the sigmoid — is ONE jitted XLA program. Inputs are fixed-capacity padded
+batches so there is exactly one compilation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import I3DConfig
+from ..models.i3d import I3D, IMAGENET_MEAN, IMAGENET_STD
+from ..ops.align import align_clip, std_points
+
+
+class ClipScorer:
+    """Batched scorer over per-track clip buffers.
+
+    ``score(crops, boxes, lm5, valid)``:
+      crops [B, T, Hc, Wc, 3] uint8 RGB (zero-padded big-box crops)
+      boxes [B, T, 4] absolute big-box (x1, y1, x2, y2)
+      lm5   [B, T, 5, 2] crop-local 5-point landmarks
+      valid [B] bool — padding rows are skipped in spirit (scored but masked)
+    → probs [B] float32 (sigmoid of the final logit).
+    """
+
+    def __init__(
+        self,
+        variables,
+        cfg: Optional[I3DConfig] = None,
+        dtype=jnp.bfloat16,
+        score_index: int = 0,
+    ):
+        self.cfg = cfg or I3DConfig()
+        self.model = I3D(cfg=self.cfg, dtype=dtype)
+        self.variables = variables
+        self.score_index = score_index
+        self._template = std_points(self.cfg.crop_size)
+        self._score = jax.jit(self._score_impl)
+
+    @classmethod
+    def random_init(cls, cfg: Optional[I3DConfig] = None, seed: int = 0, **kw):
+        cfg = cfg or I3DConfig()
+        model = I3D(cfg=cfg)
+        sample = jnp.zeros((1, cfg.num_frames, cfg.crop_size, cfg.crop_size, 3))
+        variables = jax.jit(
+            lambda r: model.init(r, sample, train=False)
+        )(jax.random.PRNGKey(seed))
+        return cls(variables, cfg=cfg, **kw)
+
+    @classmethod
+    def from_torch_checkpoint(cls, path: str, cfg: Optional[I3DConfig] = None, **kw):
+        from ..utils.torch_convert import load_reference_checkpoint
+
+        variables = load_reference_checkpoint(path)
+        variables = jax.tree.map(jnp.asarray, variables)
+        return cls(variables, cfg=cfg, **kw)
+
+    def _score_impl(self, crops, boxes, lm5, valid):
+        S = self.cfg.crop_size
+
+        def align_one(c, b, l):
+            aligned, _, _, _ = align_clip(c, b, l, out_size=S, template=self._template)
+            return aligned
+
+        aligned = jax.vmap(align_one)(
+            crops, boxes.astype(jnp.float32), lm5.astype(jnp.float32)
+        )  # [B, T, S, S, 3] float32 (0..255)
+        x = (aligned - IMAGENET_MEAN) / IMAGENET_STD
+        logits = self.model.apply(self.variables, x, train=False)
+        probs = jax.nn.sigmoid(logits[:, self.score_index].astype(jnp.float32))
+        return jnp.where(valid, probs, 0.0)
+
+    def score(self, crops, boxes, lm5, valid) -> np.ndarray:
+        out = self._score(
+            jnp.asarray(crops), jnp.asarray(boxes), jnp.asarray(lm5), jnp.asarray(valid)
+        )
+        return np.asarray(out)

@@ -1,0 +1,327 @@
+"""Streaming detection engine: the live-call scoring loop.
+
+TPU-native re-architecture of the reference's ``RealtimeAF.step``
+(test/af_realtime.py:196) and ``VideoRunner.run`` (TEST2.py:259) — one engine
+serves both the live and the offline path:
+
+host plane (per frame, numpy):   detect-cadence → ByteTrack → landmark cache
+                                 → crop-box/quality gating → per-track ring
+                                 buffers → stride-gated clip windows
+device plane (per flush, jitted): batched align+normalize+I3D+sigmoid
+                                 (:class:`~stdd_tpu.runtime.classifier.ClipScorer`)
+
+Fixed shapes everywhere on device: clips are padded to
+``[batch_clips, clip_size, crop_buffer, crop_buffer, 3]``; oversized crops are
+rescaled host-side by ONE per-clip factor (a similarity fit absorbs a uniform
+scale exactly, so alignment semantics are unchanged).
+
+Landmarks: the reference runs MediaPipe FaceMesh per track
+(af_realtime.py:175). MediaPipe is host-C++ and unavailable here; the YuNet
+detector already emits the same 5 landmark points per detection
+(yunet.py:87 — eyes, nose, mouth corners), so the engine caches det-frame
+lm5 as box-relative offsets and translates them with the track between
+detections — the same caching cadence the reference uses for its mesh
+(mesh_every, TEST2.py:577-588).
+"""
+
+from __future__ import annotations
+
+import collections
+from dataclasses import dataclass, field
+from typing import Callable, Deque, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import PipelineConfig
+from ..ops.quality import crop_quality
+from ..track.byte_tracker import ByteTracker, Track
+from .classifier import ClipScorer
+from .scoring import HysteresisState, VideoVerdict, aggregate_video
+
+
+def get_crop_box(shape_hw: Tuple[int, int], box: np.ndarray, scale: float = 0.5) -> np.ndarray:
+    """Scale-expand a tlbr box and clip to the frame
+    (reference test_tools/utils.py:13)."""
+    height, width = shape_hw
+    box = np.rint(np.asarray(box)).astype(int).reshape(2, 2)
+    size = box[1] - box[0]
+    diff = scale * size
+    diff = diff[None, :] * np.array([-1, 1])[:, None]
+    new_box = box + diff
+    new_box[:, 0] = np.clip(new_box[:, 0], 0, width - 1)
+    new_box[:, 1] = np.clip(new_box[:, 1], 0, height - 1)
+    return np.rint(new_box).astype(int).reshape(-1)
+
+
+@dataclass
+class _FrameEntry:
+    crop: np.ndarray          # RGB uint8 big-box crop (native resolution)
+    big_box: np.ndarray       # absolute (x1, y1, x2, y2) int
+    lm5: np.ndarray           # crop-local [5, 2] float32
+    weight: float
+
+
+@dataclass
+class _PendingClip:
+    tid: int
+    entries: List[_FrameEntry]
+
+
+class StreamingEngine:
+    """Feed frames with :meth:`step`; clip scores stream back as
+    ``(track_id, prob)`` tuples. :meth:`finish` flushes and aggregates."""
+
+    def __init__(
+        self,
+        scorer: ClipScorer,
+        detect_fn: Callable[[np.ndarray], np.ndarray],
+        cfg: Optional[PipelineConfig] = None,
+        crop_buffer: int = 256,
+        start_conf: float = 0.6,
+        drop_after: int = 60,
+        q_min_size_hard: float = 32,
+        q_min_size_soft: float = 64,
+        q_lap_hard: float = 10.0,
+        q_lap_soft: float = 60.0,
+        q_weighting: bool = True,
+        track_kwargs: Optional[dict] = None,
+    ):
+        self.cfg = cfg or PipelineConfig()
+        self.scorer = scorer
+        self.detect_fn = detect_fn
+        self.crop_buffer = crop_buffer
+        self.start_conf = start_conf
+        self.drop_after = drop_after
+        self.q = dict(
+            min_size_hard=q_min_size_hard,
+            min_size_soft=q_min_size_soft,
+            lap_hard=q_lap_hard,
+            lap_soft=q_lap_soft,
+            weighting=q_weighting,
+        )
+        self._track_kwargs = track_kwargs or dict(
+            track_thresh=0.6, match_thresh=0.6, track_buffer=2000,
+            split_low_scores=False,  # reference-production behavior
+        )
+        self.reset()
+
+    def reset(self) -> None:
+        self.tracker = ByteTracker(**self._track_kwargs)
+        self.frame_idx = 0
+        self.buffers: Dict[int, Deque[_FrameEntry]] = {}
+        self.lm5_offsets: Dict[int, np.ndarray] = {}
+        self.since_emit: Dict[int, int] = collections.defaultdict(lambda: 10 ** 9)
+        self.last_seen: Dict[int, int] = {}
+        self.pending: List[_PendingClip] = []
+        self.track_clip_scores: Dict[int, List[float]] = collections.defaultdict(list)
+        self.track_frames: Dict[int, int] = collections.defaultdict(int)
+        self.hysteresis = HysteresisState(self.cfg.t_high, self.cfg.t_low)
+        self.qstats: Dict[int, List[Tuple[float, float]]] = collections.defaultdict(list)
+        self.clip_latencies: List[float] = []
+
+    # -- per-frame host path -------------------------------------------------
+
+    def step(self, frame_bgr: np.ndarray) -> List[Tuple[int, float]]:
+        H, W = frame_bgr.shape[:2]
+        need_det = self.frame_idx % max(1, self.cfg.detect_every) == 0
+        self.frame_idx += 1
+
+        dets = None
+        if need_det:
+            dets = np.asarray(self.detect_fn(frame_bgr))  # [N, 15] YuNet rows
+            if dets.size:
+                keep = (dets[:, 14] >= self.start_conf) & (
+                    np.maximum(dets[:, 2], dets[:, 3]) >= self.cfg.min_face_side
+                )
+                dets = dets[keep]
+
+        if dets is not None:
+            tlbr = (
+                np.stack(
+                    [dets[:, 0], dets[:, 1], dets[:, 0] + dets[:, 2],
+                     dets[:, 1] + dets[:, 3], dets[:, 14]], axis=1,
+                )
+                if dets.size
+                else np.empty((0, 5))
+            )
+            live = self.tracker.update(tlbr)
+        else:
+            live = [t for t in self.tracker.tracked if t.is_activated]
+
+        frame_rgb = frame_bgr[:, :, ::-1]
+        results: List[Tuple[int, float]] = []
+
+        for tr in live:
+            tid = tr.track_id
+            box = tr.tlbr
+            self.last_seen[tid] = self.frame_idx
+            self.track_frames[tid] += 1
+
+            lm5 = self._landmarks_for(tid, box, dets)
+            if lm5 is None:
+                continue
+
+            big_box = get_crop_box((H, W), box, self.cfg.crop_scale)
+            x1, y1, x2, y2 = big_box
+            if x2 <= x1 + 1 or y2 <= y1 + 1:
+                continue
+            crop = np.ascontiguousarray(frame_rgb[y1:y2, x1:x2])
+            wq, q_side, q_lap = crop_quality(crop, **self.q)
+            if len(self.qstats[tid]) < 50:
+                self.qstats[tid].append((q_side, q_lap))
+            if wq <= 0.0:
+                continue
+
+            lm5_local = lm5 - np.array([x1, y1], np.float32)
+            buf = self.buffers.setdefault(
+                tid, collections.deque(maxlen=self.cfg.clip_size)
+            )
+            buf.append(_FrameEntry(crop, big_box, lm5_local.astype(np.float32), wq))
+            self.since_emit[tid] += 1
+
+            if (
+                len(buf) >= self.cfg.clip_size
+                and self.since_emit[tid] >= self.cfg.stride
+            ):
+                self.pending.append(_PendingClip(tid, list(buf)))
+                self.since_emit[tid] = 0
+
+        self._gc_tracks()
+
+        if len(self.pending) >= self.cfg.batch_clips:
+            results.extend(self._flush())
+        return results
+
+    def flush(self) -> List[Tuple[int, float]]:
+        """Score whatever is queued (end of stream / low-latency mode)."""
+        out: List[Tuple[int, float]] = []
+        while self.pending:
+            out.extend(self._flush())
+        return out
+
+    def finish(self, threshold: Optional[float] = None, **agg_kwargs) -> VideoVerdict:
+        """Flush and produce the end-of-video verdict (TEST2 semantics,
+        including the QA low-quality override)."""
+        self.flush()
+        qa_sides = [s for v in self.qstats.values() for s, _ in v]
+        qa_laps = [l for v in self.qstats.values() for _, l in v]
+        low_q = False
+        if qa_sides:
+            low_q = (float(np.median(qa_sides)) < agg_kwargs.pop("qa_min_side", 48)) or (
+                float(np.median(qa_laps)) < agg_kwargs.pop("qa_min_lap", 20.0)
+            )
+        else:
+            agg_kwargs.pop("qa_min_side", None)
+            agg_kwargs.pop("qa_min_lap", None)
+        return aggregate_video(
+            dict(self.track_clip_scores),
+            threshold=threshold if threshold is not None else self.cfg.threshold,
+            pool_method=self.cfg.pool_method,
+            low_quality=low_q,
+            **agg_kwargs,
+        )
+
+    # -- internals ------------------------------------------------------------
+
+    def _landmarks_for(
+        self, tid: int, box: np.ndarray, dets: Optional[np.ndarray]
+    ) -> Optional[np.ndarray]:
+        """Absolute lm5 for a track: refresh offsets on detection frames by
+        IoU-matching the track box to a detection; otherwise translate cached
+        offsets with the box (the reference's mesh_every caching)."""
+        if dets is not None and dets.size:
+            det_tlbr = np.stack(
+                [dets[:, 0], dets[:, 1], dets[:, 0] + dets[:, 2], dets[:, 1] + dets[:, 3]],
+                axis=1,
+            )
+            ious = _iou_one_to_many(box, det_tlbr)
+            j = int(np.argmax(ious))
+            if ious[j] > 0.3:
+                lm5 = dets[j, 4:14].reshape(5, 2).astype(np.float32)
+                self.lm5_offsets[tid] = lm5 - box[:2][None, :].astype(np.float32)
+        off = self.lm5_offsets.get(tid)
+        if off is None:
+            return None
+        return off + box[:2][None, :].astype(np.float32)
+
+    def _gc_tracks(self) -> None:
+        dead = [
+            tid
+            for tid, seen in self.last_seen.items()
+            if self.frame_idx - seen > self.drop_after
+        ]
+        for tid in dead:
+            self.buffers.pop(tid, None)
+            self.lm5_offsets.pop(tid, None)
+            self.since_emit.pop(tid, None)
+            self.last_seen.pop(tid, None)
+            self.hysteresis.drop(tid)
+
+    def _flush(self) -> List[Tuple[int, float]]:
+        import time
+
+        batch = self.pending[: self.cfg.batch_clips]
+        self.pending = self.pending[self.cfg.batch_clips :]
+        if not batch:
+            return []
+        B = self.cfg.batch_clips
+        T = self.cfg.clip_size
+        S = self.crop_buffer
+        crops = np.zeros((B, T, S, S, 3), np.uint8)
+        boxes = np.zeros((B, T, 4), np.float32)
+        lm5 = np.zeros((B, T, 5, 2), np.float32)
+        valid = np.zeros((B,), bool)
+
+        for bi, clip in enumerate(batch):
+            entries = clip.entries
+            # pad short clips by repeating the last frame (TEST2.py:358-363)
+            while len(entries) < T:
+                entries = entries + [entries[-1]]
+            # one uniform scale per clip so every crop fits the buffer
+            max_dim = max(max(e.crop.shape[0], e.crop.shape[1]) for e in entries)
+            s = min(1.0, S / float(max_dim))
+            for ti, e in enumerate(entries):
+                c = e.crop
+                if s < 1.0:
+                    c = _resize_area(c, s)
+                h, w = c.shape[:2]
+                crops[bi, ti, :h, :w] = c
+                boxes[bi, ti] = e.big_box.astype(np.float32) * s
+                lm5[bi, ti] = e.lm5 * s
+            valid[bi] = True
+
+        t0 = time.perf_counter()
+        probs = self.scorer.score(crops, boxes, lm5, valid)
+        self.clip_latencies.append(time.perf_counter() - t0)
+
+        out: List[Tuple[int, float]] = []
+        for bi, clip in enumerate(batch):
+            p = float(probs[bi])
+            self.track_clip_scores[clip.tid].append(p)
+            self.hysteresis.update(clip.tid, p)
+            out.append((clip.tid, p))
+        return out
+
+
+def _iou_one_to_many(box: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+    x1 = np.maximum(box[0], boxes[:, 0])
+    y1 = np.maximum(box[1], boxes[:, 1])
+    x2 = np.minimum(box[2], boxes[:, 2])
+    y2 = np.minimum(box[3], boxes[:, 3])
+    inter = np.maximum(x2 - x1, 0) * np.maximum(y2 - y1, 0)
+    a = (box[2] - box[0]) * (box[3] - box[1])
+    b = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    union = a + b - inter
+    return np.where(union > 0, inter / union, 0)
+
+
+def _resize_area(img: np.ndarray, scale: float) -> np.ndarray:
+    """Area-style downscale without cv2 dependency at module import; uses cv2
+    when available (it is in this image)."""
+    import cv2
+
+    h, w = img.shape[:2]
+    return cv2.resize(
+        img, (max(1, int(w * scale)), max(1, int(h * scale))),
+        interpolation=cv2.INTER_AREA,
+    )

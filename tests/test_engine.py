@@ -1,0 +1,115 @@
+"""Streaming engine integration tests on synthetic video (fake detector,
+small random-init I3D)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from stdd_tpu.config import I3DConfig, PipelineConfig
+from stdd_tpu.ops.align import STD_POINTS_256
+from stdd_tpu.runtime.classifier import ClipScorer
+from stdd_tpu.runtime.engine import StreamingEngine, get_crop_box
+
+
+SMALL_CFG = I3DConfig(num_frames=8, crop_size=64)
+PIPE = PipelineConfig(
+    clip_size=8, imsize=64, stride=4, detect_every=2, batch_clips=2,
+    min_face_side=10,
+)
+
+
+def make_fake_detector(n_faces=1):
+    """Deterministic moving 'faces': YuNet-style rows (x,y,w,h,5lmk,score)."""
+    state = {"f": 0}
+
+    def detect(frame_bgr):
+        f = state["f"]
+        state["f"] += 1
+        rows = []
+        for k in range(n_faces):
+            x = 30 + 40 * k + 1.5 * f
+            y = 40 + 30 * k + 0.5 * f
+            w, h = 60.0, 70.0
+            lm = (STD_POINTS_256 * (w / 256.0) + np.array([x, y])).reshape(-1)
+            rows.append([x, y, w, h, *lm, 0.92])
+        return np.asarray(rows, np.float32)
+
+    return detect
+
+
+def make_engine(**kw):
+    scorer = ClipScorer.random_init(cfg=SMALL_CFG, dtype=jnp.float32)
+    detect = make_fake_detector(kw.pop("n_faces", 1))
+    return StreamingEngine(
+        scorer, detect, cfg=PIPE, crop_buffer=160,
+        q_lap_hard=0.0, q_lap_soft=0.0, q_weighting=False,
+        **kw,
+    )
+
+
+def _frames(n, h=240, w=320, seed=0):
+    rng = np.random.RandomState(seed)
+    base = rng.randint(0, 255, (h, w, 3), np.uint8)
+    return [base for _ in range(n)]
+
+
+def test_engine_scores_clips_at_stride():
+    eng = make_engine()
+    scored = []
+    for fr in _frames(40):
+        scored += eng.step(fr)
+    scored += eng.flush()
+    # clip_size 8, stride 4 → first clip at frame 8, then every 4 → ~9 clips
+    assert len(scored) >= 6, scored
+    tids = {t for t, _ in scored}
+    assert len(tids) == 1  # one stable identity
+    assert all(0.0 <= p <= 1.0 for _, p in scored)
+    # deterministic model on identical frames → clip scores nearly constant
+    ps = [p for _, p in scored]
+    assert np.std(ps) < 0.05
+
+
+def test_engine_multiface():
+    eng = make_engine(n_faces=3)
+    for fr in _frames(30):
+        eng.step(fr)
+    eng.flush()
+    assert len(eng.track_clip_scores) == 3
+
+
+def test_engine_finish_verdict():
+    eng = make_engine()
+    for fr in _frames(30):
+        eng.step(fr)
+    v = eng.finish(threshold=0.0)  # any score > 0 ⇒ fake
+    assert v.video_fake
+    assert 0.0 < v.video_score <= 1.0
+    v2_scores = eng.track_clip_scores
+    assert all(len(s) > 0 for s in v2_scores.values())
+
+
+def test_engine_no_faces_graceful():
+    scorer = ClipScorer.random_init(cfg=SMALL_CFG, dtype=jnp.float32)
+    eng = StreamingEngine(scorer, lambda f: np.empty((0, 15)), cfg=PIPE)
+    for fr in _frames(10):
+        assert eng.step(fr) == []
+    v = eng.finish()
+    assert not v.video_fake and v.video_score == 0.0
+
+
+def test_get_crop_box_matches_reference():
+    import sys
+
+    sys.path.insert(0, "/root/reference/altfreezing")
+    from test_tools.utils import get_crop_box as ref_gcb
+
+    rng = np.random.RandomState(0)
+    for _ in range(20):
+        box = np.sort(rng.uniform(0, 300, 4).reshape(2, 2), axis=0).reshape(-1)
+        box = box[[0, 2, 1, 3]]  # x1,y1,x2,y2 with x1<x2, y1<y2
+        shape = (rng.randint(100, 400), rng.randint(100, 400))
+        scale = rng.choice([0.3, 0.5, 0.75])
+        np.testing.assert_array_equal(
+            get_crop_box(shape, box.copy(), scale), ref_gcb(shape, box.copy(), scale)
+        )
