@@ -93,3 +93,73 @@ def load_reference_checkpoint(path: str) -> Dict[str, Any]:
     if isinstance(obj, dict) and "state_dict" in obj:
         obj = obj["state_dict"]
     return i3d_torch_to_flax(obj)
+
+
+def dual_torch_to_flax(state_dict: Mapping[str, Any], heads: int = 4) -> Dict[str, Any]:
+    """Map a reference DualEncoderAU_LMK state dict (dualrun/model/
+    dual_encoder.py) onto stdd_tpu's flax DualEncoderAU_LMK params."""
+    params: Dict[str, Any] = {}
+
+    def arr(v):
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+
+    def put(path, v):
+        _set(params, tuple(path.split("/")), v)
+
+    sd = {k: arr(v) for k, v in state_dict.items()}
+    d_model = sd["au_enc.proj.weight"].shape[0]
+    head_dim = d_model // heads
+
+    for branch in ("au_enc", "lmk_enc"):
+        put(f"{branch}/proj/kernel", sd[f"{branch}.proj.weight"].T)
+        put(f"{branch}/proj/bias", sd[f"{branch}.proj.bias"])
+        put(f"{branch}/ln_in/scale", sd[f"{branch}.ln_in.weight"])
+        put(f"{branch}/ln_in/bias", sd[f"{branch}.ln_in.bias"])
+        for i in range(3):
+            w = sd[f"{branch}.temporal.{i}.weight"]  # [D,1,3] depthwise
+            put(f"{branch}/temporal{i}/kernel", w.transpose(2, 1, 0))
+            put(f"{branch}/temporal{i}/bias", sd[f"{branch}.temporal.{i}.bias"])
+        put(f"{branch}/pointwise/kernel", sd[f"{branch}.pointwise.weight"].transpose(2, 1, 0))
+        put(f"{branch}/pointwise/bias", sd[f"{branch}.pointwise.bias"])
+        put(f"{branch}/pool/v", sd[f"{branch}.pool.v"])
+        li = 0
+        while f"{branch}.encoder.layers.{li}.norm1.weight" in sd:
+            pre = f"{branch}.encoder.layers.{li}"
+            out = f"{branch}/layer{li}"
+            ipw = sd[f"{pre}.self_attn.in_proj_weight"]
+            ipb = sd[f"{pre}.self_attn.in_proj_bias"]
+            for j, name in enumerate(("query", "key", "value")):
+                w = ipw[j * d_model : (j + 1) * d_model]  # [D, D]
+                b = ipb[j * d_model : (j + 1) * d_model]
+                put(f"{out}/self_attn/{name}/kernel", w.T.reshape(d_model, heads, head_dim))
+                put(f"{out}/self_attn/{name}/bias", b.reshape(heads, head_dim))
+            ow = sd[f"{pre}.self_attn.out_proj.weight"]  # [D, D]
+            put(f"{out}/self_attn/out/kernel", ow.T.reshape(heads, head_dim, d_model))
+            put(f"{out}/self_attn/out/bias", sd[f"{pre}.self_attn.out_proj.bias"])
+            put(f"{out}/linear1/kernel", sd[f"{pre}.linear1.weight"].T)
+            put(f"{out}/linear1/bias", sd[f"{pre}.linear1.bias"])
+            put(f"{out}/linear2/kernel", sd[f"{pre}.linear2.weight"].T)
+            put(f"{out}/linear2/bias", sd[f"{pre}.linear2.bias"])
+            for n in ("norm1", "norm2"):
+                put(f"{out}/{n}/scale", sd[f"{pre}.{n}.weight"])
+                put(f"{out}/{n}/bias", sd[f"{pre}.{n}.bias"])
+            li += 1
+
+    put("head_ln/scale", sd["head.0.weight"])
+    put("head_ln/bias", sd["head.0.bias"])
+    put("head_fc1/kernel", sd["head.1.weight"].T)
+    put("head_fc1/bias", sd["head.1.bias"])
+    put("head_fc2/kernel", sd["head.4.weight"].T)
+    put("head_fc2/bias", sd["head.4.bias"])
+    put("au_from_lmk_ln/scale", sd["au_from_lmk.0.weight"])
+    put("au_from_lmk_ln/bias", sd["au_from_lmk.0.bias"])
+    put("au_from_lmk_fc/kernel", sd["au_from_lmk.1.weight"].T)
+    put("au_from_lmk_fc/bias", sd["au_from_lmk.1.bias"])
+    put("proj_au/kernel", sd["proj_au.weight"].T)
+    put("proj_au/bias", sd["proj_au.bias"])
+    put("proj_lmk/kernel", sd["proj_lmk.weight"].T)
+    put("proj_lmk/bias", sd["proj_lmk.bias"])
+    if "domain_head.weight" in sd:
+        put("domain_head/kernel", sd["domain_head.weight"].T)
+        put("domain_head/bias", sd["domain_head.bias"])
+    return {"params": params}
