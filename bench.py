@@ -1,10 +1,16 @@
-"""Benchmark: I3D-ResNet50 clip-scoring throughput on the local accelerator.
+"""Benchmark: end-to-end streaming fps of the live-call pipeline.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Primary metric: frames/second through the FULL engine — detection (YuNet on
+device, every detect_every frames), ByteTrack, quality gating, clip
+buffering, and the fused align+I3D scorer with pipelined async dispatch —
+on 1080p frames with a single tracked face at production settings
+(clip 32, 224² crops, batch 8).
 
-Baseline: the reference's model-side throughput on its CUDA GPU is 5.6–9.3
-clips/s (BASELINE.md, demo_test summary CSVs, "model 5.6-9.3 clips/s"); we
-compare against the best (9.3).
+Baseline: the reference's streaming harness measured 14.9 fps mean on FF++
+(BASELINE.md, TEST2/new_demo_test summary — CUDA GPU, AMP, batch_clips 8).
+
+Prints ONE JSON line. Falls back to the raw I3D clip-throughput metric if
+the engine path fails for environmental reasons.
 """
 
 import json
@@ -13,68 +19,136 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-# Persistent compilation cache: repeat bench runs skip the (minutes-long,
-# relay-remote) XLA compile.
 os.makedirs("/tmp/jax_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+BASELINE_STREAM_FPS = 14.9
 BASELINE_CLIPS_PER_S = 9.3
 
 
-def main():
+def bench_engine():
+    from stdd_tpu.config import PipelineConfig
+    from stdd_tpu.models.yunet import YuNetTPU
+    from stdd_tpu.ops.align import STD_POINTS_256
+    from stdd_tpu.runtime.classifier import ClipScorer
+    from stdd_tpu.runtime.engine import StreamingEngine
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if on_tpu:
+        pipe = PipelineConfig(clip_size=32, stride=8, detect_every=4, batch_clips=8,
+                              min_face_side=10)
+        scorer = ClipScorer.random_init()  # full I3D-R50 bf16
+        frame_hw = (1080, 1920)
+        n_frames, warmup_frames = 240, 70
+    else:
+        from stdd_tpu.config import I3DConfig
+
+        pipe = PipelineConfig(clip_size=8, stride=4, detect_every=4, batch_clips=2,
+                              min_face_side=10)
+        scorer = ClipScorer.random_init(cfg=I3DConfig(num_frames=8, crop_size=64),
+                                        dtype=jnp.float32)
+        frame_hw = (360, 640)
+        n_frames, warmup_frames = 60, 20
+
+    det = YuNetTPU(conf_threshold=0.6, top_k=32)
+    state = {"i": 0}
+
+    def detect_fn(frame_bgr):
+        # run the real on-device detector for its true cost, then return a
+        # deterministic synthetic face row so tracking stays stable on
+        # synthetic pixels
+        import cv2
+
+        small = cv2.resize(frame_bgr, (320, 320))
+        det.detect(small)
+        i = state["i"]
+        state["i"] += 1
+        x = 300 + 1.5 * i
+        y = 200 + 0.5 * i
+        w, h = 180.0, 210.0
+        lm = (STD_POINTS_256 * (w / 256.0) + np.array([x, y])).reshape(-1)
+        return np.asarray([[x, y, w, h, *lm, 0.93]], np.float32)
+
+    eng = StreamingEngine(
+        scorer, detect_fn, cfg=pipe, crop_buffer=256 if on_tpu else 128,
+        q_weighting=False, q_lap_hard=0.0,
+    )
+    rng = np.random.RandomState(0)
+    frame = rng.randint(0, 255, frame_hw + (3,), np.uint8)
+
+    # warmup: trigger both compiles (detector + fused scorer) and fill buffers
+    for _ in range(warmup_frames):
+        eng.step(frame)
+    eng.flush()
+
+    scored = 0
+    t0 = time.perf_counter()
+    for _ in range(n_frames):
+        scored += len(eng.step(frame))
+    scored += len(eng.flush())
+    dt = time.perf_counter() - t0
+    fps = n_frames / dt
+    lat_ms = 1000 * float(np.mean(eng.clip_latencies)) if eng.clip_latencies else float("nan")
+    return {
+        "metric": "streaming_fps_1080p" if on_tpu else "streaming_fps_cpu_fallback",
+        "value": round(fps, 2),
+        "unit": f"frames/s end-to-end ({frame_hw[0]}p, clip {pipe.clip_size}, "
+                f"batch {pipe.batch_clips}; clip-batch latency {lat_ms:.0f} ms)",
+        "vs_baseline": round(fps / BASELINE_STREAM_FPS, 3),
+    }
+
+
+def bench_i3d_throughput():
     from stdd_tpu.config import I3DConfig
     from stdd_tpu.models.i3d import I3D
 
-    cfg = I3DConfig()  # production shape: 32 frames, 224^2
+    cfg = I3DConfig()
     on_tpu = jax.devices()[0].platform != "cpu"
     batch = 32 if on_tpu else 1
     if not on_tpu:
-        # keep the CPU fallback tractable
         import dataclasses
 
         cfg = dataclasses.replace(cfg, num_frames=8, crop_size=64)
-
     model = I3D(cfg=cfg, dtype=jnp.bfloat16)
-    rng = jax.random.PRNGKey(0)
     shape = (batch, cfg.num_frames, cfg.crop_size, cfg.crop_size, 3)
-    # jit the init: one fused compile instead of op-by-op dispatch
-    variables = jax.jit(lambda r: model.init(r, jnp.zeros((1,) + shape[1:]), train=False))(rng)
+    variables = jax.jit(
+        lambda r: model.init(r, jnp.zeros((1,) + shape[1:]), train=False)
+    )(jax.random.PRNGKey(0))
 
     @jax.jit
     def fwd(v, clips):
         return model.apply(v, clips, train=False)
 
-    # Distinct device-resident inputs each iteration; the timed section ends
-    # with a host fetch of a scalar — on the axon TPU relay,
-    # block_until_ready() returns before execution finishes, so only a
-    # materializing fetch gives honest timings.
     gen = jax.jit(lambda k: jax.random.normal(k, shape, jnp.float32))
     xs = [gen(jax.random.PRNGKey(i)) for i in range(2)]
-    float(fwd(variables, xs[0]).sum())  # compile + warmup
+    float(fwd(variables, xs[0]).sum())
     float(fwd(variables, xs[1]).sum())
-
-    iters = 8 if on_tpu else 3
     times = []
-    for i in range(iters):
-        x = xs[i % len(xs)]
+    for i in range(8 if on_tpu else 3):
         t0 = time.perf_counter()
-        float(fwd(variables, x).sum())
+        float(fwd(variables, xs[i % 2]).sum())
         times.append(time.perf_counter() - t0)
-    dt = sorted(times)[len(times) // 2]  # median
-    clips_per_s = batch / dt
+    dt = sorted(times)[len(times) // 2]
+    return {
+        "metric": "i3d_clip_throughput",
+        "value": round(batch / dt, 2),
+        "unit": "clips/s (32x224x224 bf16)" if on_tpu else "clips/s (CPU fallback)",
+        "vs_baseline": round(batch / dt / BASELINE_CLIPS_PER_S, 3),
+    }
 
-    print(
-        json.dumps(
-            {
-                "metric": "i3d_clip_throughput",
-                "value": round(clips_per_s, 2),
-                "unit": "clips/s (32x224x224 bf16)" if on_tpu else "clips/s (8x64x64 CPU-fallback)",
-                "vs_baseline": round(clips_per_s / BASELINE_CLIPS_PER_S, 3),
-            }
-        )
-    )
+
+def main():
+    try:
+        result = bench_engine()
+    except Exception as e:  # pragma: no cover — environmental fallback
+        import sys, traceback
+
+        traceback.print_exc(file=sys.stderr)
+        result = bench_i3d_throughput()
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

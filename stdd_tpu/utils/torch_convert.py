@@ -163,3 +163,66 @@ def dual_torch_to_flax(state_dict: Mapping[str, Any], heads: int = 4) -> Dict[st
         put("domain_head/kernel", sd["domain_head.weight"].T)
         put("domain_head/bias", sd["domain_head.bias"])
     return {"params": params}
+
+
+def retinaface_torch_to_flax(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """Map the reference RetinaFace (mobilenet0.25) state dict
+    (test_tools/ct/detection/alignment.py) onto stdd_tpu's flax RetinaFace."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def arr(v):
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+
+    sd = {k: arr(v) for k, v in state_dict.items()}
+
+    def put_conv(dst, key):
+        w = sd[key + ".weight"]  # [O, I/g, H, W]
+        if w.shape[1] == 1 and w.shape[0] > 1 and key.endswith(".0") and ".stage" in key:
+            pass
+        _set(params, tuple(dst.split("/")) + ("kernel",), w.transpose(2, 3, 1, 0))
+        if key + ".bias" in sd:
+            _set(params, tuple(dst.split("/")) + ("bias",), sd[key + ".bias"])
+
+    def put_bn(dst, key):
+        _set(params, tuple(dst.split("/")) + ("scale",), sd[key + ".weight"])
+        _set(params, tuple(dst.split("/")) + ("bias",), sd[key + ".bias"])
+        _set(stats, tuple(dst.split("/")) + ("mean",), sd[key + ".running_mean"])
+        _set(stats, tuple(dst.split("/")) + ("var",), sd[key + ".running_var"])
+
+    # backbone
+    put_conv("body/s1_conv/conv", "body.stage1.0.0")
+    put_bn("body/s1_conv/bn", "body.stage1.0.1")
+    stage_map = [("stage1", range(1, 6), "s1_dw", -1), ("stage2", range(0, 6), "s2_dw", 0),
+                 ("stage3", range(0, 2), "s3_dw", 0)]
+    for stage, idxs, prefix, off in stage_map:
+        for n, i in enumerate(idxs):
+            base = f"body.{stage}.{i}"
+            dst = f"body/{prefix}{n}"
+            put_conv(f"{dst}/dw/conv", base + ".0")
+            put_bn(f"{dst}/dw/bn", base + ".1")
+            put_conv(f"{dst}/pw/conv", base + ".3")
+            put_bn(f"{dst}/pw/bn", base + ".4")
+
+    # fpn
+    for k in (1, 2, 3):
+        put_conv(f"fpn/output{k}/conv", f"fpn.output{k}.0")
+        put_bn(f"fpn/output{k}/bn", f"fpn.output{k}.1")
+    for k in (1, 2):
+        put_conv(f"fpn/merge{k}/conv", f"fpn.merge{k}.0")
+        put_bn(f"fpn/merge{k}/bn", f"fpn.merge{k}.1")
+
+    # ssh (note the reference's mixed-case conv7x7_3)
+    ssh_names = {"conv3x3": "conv3X3", "conv5x5_1": "conv5X5_1", "conv5x5_2": "conv5X5_2",
+                 "conv7x7_2": "conv7X7_2", "conv7x7_3": "conv7x7_3"}
+    for s in (1, 2, 3):
+        for dst_n, src_n in ssh_names.items():
+            put_conv(f"ssh{s}/{dst_n}/conv", f"ssh{s}.{src_n}.0")
+            put_bn(f"ssh{s}/{dst_n}/bn", f"ssh{s}.{src_n}.1")
+
+    # heads
+    for i in range(3):
+        put_conv(f"class_head{i}", f"ClassHead.{i}.conv1x1")
+        put_conv(f"bbox_head{i}", f"BboxHead.{i}.conv1x1")
+        put_conv(f"ldm_head{i}", f"LandmarkHead.{i}.conv1x1")
+    return {"params": params, "batch_stats": stats}
