@@ -1,0 +1,288 @@
+"""Dataset-production pipeline: videos → per-track face clips with AUs and
+landmarks.
+
+Rebuild of the reference ``preprocessing/preprocessing_parallel.py``:
+per frame — YuNet detection + ByteTrack (``detect_and_track`` :246), 224²
+face crops, AU extraction batched every other frame with last-known-value
+fill (``preprocess_and_extract_features`` :270), sliding clip buffers
+(CLIP_LENGTH=8 / CLIP_STEP=4, ``handle_clip_buffers`` :353), an async writer
+thread draining a queue (``writer_worker`` :134), resume-skip of processed
+videos (:594-609), and a per-frame timing log (perf CSV, :520-552).
+
+Differences by design:
+- detection + AU extraction run batched on the TPU (YuNetTPU / AUExtractor);
+- the landmarker is a pluggable callable ``(frame_rgb, box_tlbr) -> [N,2]``
+  (the reference hard-wires MediaPipe FaceMesh, which is host C++ and not
+  available here; any 468-point provider slots in, and lm5-from-detection is
+  always stored);
+- ``images.pt`` (a torch duplicate of images.npy) is not written.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+CLIP_LENGTH = 8
+CLIP_STEP = 4
+CLIP_SIZE = (224, 224)
+
+
+@dataclass
+class ClipTask:
+    video_rel: str
+    track_id: int
+    clip_idx: int
+    images: np.ndarray                 # [T, 224, 224, 3] uint8 RGB
+    landmarks: List[Optional[np.ndarray]]
+    aus: List[Dict[str, float]]
+    frame_start: int
+    frame_end: int
+
+
+class ClipWriter:
+    """Async writer thread (reference writer_worker): clips go to
+    ``out/<video_rel>/track_<id>/clip_<idx:05d>/{images,landmarks,aus}.npy``
+    plus a master_clip_log.csv."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        self.q: "queue.Queue[Optional[ClipTask]]" = queue.Queue()
+        self.rows: List[List] = []
+        self.errors: List[str] = []
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, task: ClipTask) -> None:
+        self.q.put(task)
+
+    def close(self) -> None:
+        self.q.put(None)
+        self._thread.join()
+        os.makedirs(self.out_dir, exist_ok=True)
+        with open(os.path.join(self.out_dir, "master_clip_log.csv"), "a", newline="") as f:
+            w = csv.writer(f)
+            if f.tell() == 0:
+                w.writerow(["video", "track_id", "clip_idx", "frame_start",
+                            "frame_end", "n_frames", "path"])
+            w.writerows(self.rows)
+
+    def _run(self) -> None:
+        while True:
+            task = self.q.get()
+            if task is None:
+                return
+            try:
+                d = os.path.join(
+                    self.out_dir, task.video_rel, f"track_{task.track_id}",
+                    f"clip_{task.clip_idx:05d}",
+                )
+                os.makedirs(d, exist_ok=True)
+                np.save(os.path.join(d, "images.npy"), task.images)
+                np.save(
+                    os.path.join(d, "landmarks.npy"),
+                    np.asarray(task.landmarks, dtype=object),
+                    allow_pickle=True,
+                )
+                np.save(
+                    os.path.join(d, "aus.npy"),
+                    np.asarray(task.aus, dtype=object),
+                    allow_pickle=True,
+                )
+                self.rows.append([
+                    task.video_rel, task.track_id, task.clip_idx,
+                    task.frame_start, task.frame_end, len(task.images), d,
+                ])
+            except Exception as e:  # keep draining
+                self.errors.append(f"{task.video_rel}/track_{task.track_id}: {e}")
+
+
+class PreprocessPipeline:
+    def __init__(
+        self,
+        detect_fn: Callable[[np.ndarray], np.ndarray],   # BGR frame → [N,15] rows
+        au_extractor=None,                                # AUExtractor or None
+        landmarker: Optional[Callable] = None,            # (frame_rgb, tlbr) → [N,2]
+        clip_length: int = CLIP_LENGTH,
+        clip_step: int = CLIP_STEP,
+        crop_size: Tuple[int, int] = CLIP_SIZE,
+        au_every: int = 2,                                # AU cadence (reference: every other frame)
+        track_kwargs: Optional[dict] = None,
+    ):
+        self.detect_fn = detect_fn
+        self.au_extractor = au_extractor
+        self.landmarker = landmarker
+        self.clip_length = clip_length
+        self.clip_step = clip_step
+        self.crop_size = crop_size
+        self.au_every = au_every
+        self.track_kwargs = track_kwargs or dict(
+            track_thresh=0.5, match_thresh=0.8, track_buffer=30,
+            split_low_scores=False,
+        )
+
+    def process_video(
+        self, video_path: str, writer: ClipWriter, video_rel: Optional[str] = None,
+        max_frames: Optional[int] = None,
+    ) -> Dict[str, float]:
+        import cv2
+
+        from ..track.byte_tracker import ByteTracker
+
+        video_rel = video_rel or os.path.splitext(os.path.basename(video_path))[0]
+        tracker = ByteTracker(**self.track_kwargs)
+        img_buf: Dict[int, List[np.ndarray]] = {}
+        au_buf: Dict[int, List[Optional[Dict]]] = {}
+        lm_buf: Dict[int, List[Optional[np.ndarray]]] = {}
+        last_known: Dict[int, Dict] = {}
+        counters: Dict[int, int] = {}
+        perf = {"frames": 0, "clips": 0, "t_detect": 0.0, "t_au": 0.0,
+                "t_landmark": 0.0, "t_total": 0.0}
+
+        t_start = time.perf_counter()
+        cap = cv2.VideoCapture(video_path)
+        frame_id = 0
+        try:
+            while True:
+                ok, frame = cap.read()
+                if not ok or (max_frames and frame_id >= max_frames):
+                    break
+                self._step(
+                    frame, frame_id, tracker, writer, video_rel,
+                    img_buf, au_buf, lm_buf, last_known, counters, perf,
+                )
+                frame_id += 1
+        finally:
+            cap.release()
+        perf["frames"] = frame_id
+        perf["t_total"] = time.perf_counter() - t_start
+        perf["clips"] = sum(counters.values())
+        return perf
+
+    # -- per-frame ------------------------------------------------------------
+
+    def _step(self, frame_bgr, frame_id, tracker, writer, video_rel,
+              img_buf, au_buf, lm_buf, last_known, counters, perf) -> None:
+        import cv2
+
+        t0 = time.perf_counter()
+        rows = np.asarray(self.detect_fn(frame_bgr))
+        perf["t_detect"] += time.perf_counter() - t0
+        tlbr = (
+            np.stack([rows[:, 0], rows[:, 1], rows[:, 0] + rows[:, 2],
+                      rows[:, 1] + rows[:, 3], rows[:, 14]], axis=1)
+            if rows.size else np.empty((0, 5))
+        )
+        live = tracker.update(tlbr)
+        frame_rgb = frame_bgr[:, :, ::-1]
+        H, W = frame_bgr.shape[:2]
+
+        faces, tids = [], []
+        for tr in live:
+            x1, y1, x2, y2 = np.clip(
+                np.rint(tr.tlbr).astype(int), [0, 0, 0, 0], [W - 1, H - 1, W - 1, H - 1]
+            )
+            if x2 <= x1 + 1 or y2 <= y1 + 1:
+                continue
+            crop = cv2.resize(np.ascontiguousarray(frame_rgb[y1:y2, x1:x2]), self.crop_size)
+            faces.append(crop)
+            tids.append(tr.track_id)
+
+        # AU extraction: batched, every au_every frames; last-known fill
+        aus_now: Dict[int, Optional[Dict]] = {t: None for t in tids}
+        if faces and self.au_extractor is not None and frame_id % self.au_every == 0:
+            t0 = time.perf_counter()
+            dicts = self.au_extractor(np.stack(faces))
+            perf["t_au"] += time.perf_counter() - t0
+            aus_now = dict(zip(tids, dicts))
+
+        # landmarks (pluggable)
+        lms_now: Dict[int, Optional[np.ndarray]] = {t: None for t in tids}
+        if self.landmarker is not None:
+            t0 = time.perf_counter()
+            for tr in live:
+                if tr.track_id in aus_now or tr.track_id in lms_now:
+                    lm = self.landmarker(frame_rgb, tr.tlbr)
+                    if lm is not None:
+                        lms_now[tr.track_id] = np.asarray(lm, np.float32)
+            perf["t_landmark"] += time.perf_counter() - t0
+
+        for crop, tid in zip(faces, tids):
+            img_buf.setdefault(tid, [])
+            au_buf.setdefault(tid, [])
+            lm_buf.setdefault(tid, [])
+            lk = last_known.setdefault(tid, {"aus": None, "lm": None})
+            if aus_now.get(tid) is not None:
+                lk["aus"] = aus_now[tid]
+            if lms_now.get(tid) is not None:
+                lk["lm"] = lms_now[tid]
+            img_buf[tid].append(crop)
+            au_buf[tid].append(lk["aus"])
+            lm_buf[tid].append(lk["lm"])
+
+            if len(img_buf[tid]) >= self.clip_length:
+                aus = [a for a in au_buf[tid][: self.clip_length] if a is not None]
+                lms = [l for l in lm_buf[tid][: self.clip_length] if l is not None]
+                au_ok = self.au_extractor is None or len(aus) >= self.clip_length
+                lm_ok = self.landmarker is None or len(lms) >= self.clip_length
+                if au_ok and lm_ok:
+                    idx = counters.setdefault(tid, 0)
+                    writer.submit(ClipTask(
+                        video_rel, tid, idx,
+                        np.stack(img_buf[tid][: self.clip_length]),
+                        lm_buf[tid][: self.clip_length],
+                        au_buf[tid][: self.clip_length],
+                        frame_id - self.clip_length + 1, frame_id,
+                    ))
+                    counters[tid] = idx + 1
+                img_buf[tid] = img_buf[tid][self.clip_step:]
+                au_buf[tid] = au_buf[tid][self.clip_step:]
+                lm_buf[tid] = lm_buf[tid][self.clip_step:]
+
+
+def already_processed(out_dir: str, video_rel: str) -> bool:
+    """Resume-skip: a video with existing track_* dirs is done
+    (preprocessing_parallel.py:594-609)."""
+    base = os.path.join(out_dir, video_rel)
+    if not os.path.isdir(base):
+        return False
+    return any(d.startswith("track_") for d in os.listdir(base))
+
+
+def process_tree(
+    pipeline: PreprocessPipeline,
+    video_root: str,
+    out_dir: str,
+    max_frames: Optional[int] = None,
+    exts: Tuple[str, ...] = (".mp4", ".avi", ".mov", ".mkv"),
+) -> List[Dict]:
+    """Walk a video tree, skipping processed videos; write a perf CSV."""
+    writer = ClipWriter(out_dir)
+    logs: List[Dict] = []
+    try:
+        for dirpath, _, files in os.walk(video_root):
+            for fn in sorted(files):
+                if not fn.lower().endswith(exts):
+                    continue
+                vp = os.path.join(dirpath, fn)
+                rel = os.path.splitext(os.path.relpath(vp, video_root))[0]
+                if already_processed(out_dir, rel):
+                    continue
+                perf = pipeline.process_video(vp, writer, rel, max_frames)
+                perf["video"] = rel
+                logs.append(perf)
+    finally:
+        writer.close()
+    if logs:
+        with open(os.path.join(out_dir, "pipeline_performance_log.csv"), "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(logs[0].keys()))
+            w.writeheader()
+            w.writerows(logs)
+    return logs

@@ -1,0 +1,114 @@
+"""Preprocessing-pipeline tests: video tree → clip tree → features → dataset
+(the full dataset-production chain on synthetic videos)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from stdd_tpu.data.features import AU_ORDER, process_clip_tree
+from stdd_tpu.data.preprocess import (
+    ClipWriter,
+    PreprocessPipeline,
+    already_processed,
+    process_tree,
+)
+from stdd_tpu.ops.align import STD_POINTS_256
+
+cv2 = pytest.importorskip("cv2")
+
+
+def _write_video(path, n_frames=24, size=(320, 240), seed=0):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rng = np.random.RandomState(seed)
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30, size)
+    base = rng.randint(0, 255, (size[1], size[0], 3), np.uint8)
+    for _ in range(n_frames):
+        vw.write(base)
+    vw.release()
+
+
+def _fake_detect(frame_bgr):
+    lm = (STD_POINTS_256 * (60 / 256.0) + np.array([40, 30])).reshape(-1)
+    return np.asarray([[40, 30, 60.0, 70.0, *lm, 0.9]], np.float32)
+
+
+class _FakeAU:
+    def __call__(self, faces):
+        return [dict(zip([f"AU{i:02d}" for i in (1, 2, 4, 6, 7, 10, 12, 14, 15, 17, 23, 24)],
+                         [float(i % 2) for i in range(12)])) for _ in range(len(faces))]
+
+
+def _fake_landmarker(frame_rgb, tlbr):
+    rng = np.random.RandomState(int(tlbr[0]) % 100)
+    return rng.uniform(0.2, 0.8, (478, 2)).astype(np.float32) * 100
+
+
+def test_pipeline_writes_clips(tmp_path):
+    _write_video(str(tmp_path / "vids" / "real" / "a.mp4"))
+    pipe = PreprocessPipeline(
+        _fake_detect, au_extractor=_FakeAU(), landmarker=_fake_landmarker,
+        clip_length=8, clip_step=4,
+    )
+    logs = process_tree(pipe, str(tmp_path / "vids"), str(tmp_path / "out"))
+    assert len(logs) == 1
+    # 24 frames, clip 8 step 4 → clips at frames 8,12,16,20,24 → 5 clips
+    assert logs[0]["clips"] == 5
+    clip0 = tmp_path / "out" / "real" / "a" / "track_1" / "clip_00000"
+    imgs = np.load(clip0 / "images.npy")
+    assert imgs.shape == (8, 224, 224, 3) and imgs.dtype == np.uint8
+    lms = np.load(clip0 / "landmarks.npy", allow_pickle=True)
+    assert len(lms) == 8 and lms[0].shape == (478, 2)
+    aus = np.load(clip0 / "aus.npy", allow_pickle=True)
+    assert len(aus) == 8 and isinstance(aus[0], dict)
+    assert (tmp_path / "out" / "master_clip_log.csv").exists()
+    assert (tmp_path / "out" / "pipeline_performance_log.csv").exists()
+
+
+def test_resume_skip(tmp_path):
+    _write_video(str(tmp_path / "vids" / "real" / "a.mp4"))
+    pipe = PreprocessPipeline(_fake_detect, au_extractor=_FakeAU())
+    process_tree(pipe, str(tmp_path / "vids"), str(tmp_path / "out"))
+    assert already_processed(str(tmp_path / "out"), "real/a")
+    logs2 = process_tree(pipe, str(tmp_path / "vids"), str(tmp_path / "out"))
+    assert logs2 == []  # everything skipped
+
+
+def test_full_chain_to_dataset(tmp_path):
+    """videos → clips → features → DualFeaturesClipDataset."""
+    _write_video(str(tmp_path / "vids" / "original" / "v0.mp4"), seed=1)
+    _write_video(str(tmp_path / "vids" / "deepfakes" / "v1.mp4"), seed=2)
+    pipe = PreprocessPipeline(
+        _fake_detect, au_extractor=_FakeAU(), landmarker=_fake_landmarker,
+    )
+    process_tree(pipe, str(tmp_path / "vids"), str(tmp_path / "out"))
+    stats = process_clip_tree(str(tmp_path / "out"))
+    assert stats["lmk_ok"] > 0 and stats["au_ok"] > 0
+
+    from stdd_tpu.data.dataset import DualFeaturesClipDataset
+
+    ds = DualFeaturesClipDataset(root_dir=str(tmp_path / "out"), T=8)
+    assert len(ds) == 10
+    assert set(ds.labels) == {0, 1}
+    item = ds[0]
+    assert item["A"].shape == (8, 36) and item["L"].shape == (8, 132)
+
+
+def test_au_last_known_fill(tmp_path):
+    """AU cadence 2 with last-known fill → every clip frame has AU data."""
+    _write_video(str(tmp_path / "vids" / "real" / "a.mp4"), n_frames=10)
+    calls = {"n": 0}
+
+    class CountingAU(_FakeAU):
+        def __call__(self, faces):
+            calls["n"] += 1
+            return super().__call__(faces)
+
+    pipe = PreprocessPipeline(_fake_detect, au_extractor=CountingAU(), au_every=2)
+    process_tree(pipe, str(tmp_path / "vids"), str(tmp_path / "out"))
+    assert calls["n"] == 5  # every other of 10 frames
+    aus = np.load(
+        tmp_path / "out" / "real" / "a" / "track_1" / "clip_00000" / "aus.npy",
+        allow_pickle=True,
+    )
+    assert all(a is not None for a in aus)
