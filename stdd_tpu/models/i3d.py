@@ -317,7 +317,10 @@ class I3D(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, return_features: bool = False):
+        """``return_features=True`` additionally returns the pooled
+        penultimate embedding [B, 2048] — the reference captures this with a
+        forward hook for its RGB-fusion branch (altfreezing/feature.py:104)."""
         c = self.cfg
         d2, d3, d4, d5 = STAGE_DEPTH[c.depth]
         w = c.width_per_group
@@ -371,6 +374,7 @@ class I3D(nn.Module):
                     [(0, 0), (0, 0), (0, 0)],
                 )
 
+        feats = jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3))
         x = I3DHead(
             num_classes=c.num_classes,
             dropout_rate=c.dropout_rate,
@@ -378,6 +382,8 @@ class I3D(nn.Module):
             dtype=self.dtype,
             name="head",
         )(x, train)
+        if return_features:
+            return x, feats
         return x
 
 

@@ -46,6 +46,9 @@ class ClipScorer:
         self.score_index = score_index
         self._template = std_points(self.cfg.crop_size)
         self._score = jax.jit(self._score_impl)
+        self._score_feats = jax.jit(
+            lambda c, b, l, v: self._score_impl(c, b, l, v, with_features=True)
+        )
 
     @classmethod
     def random_init(cls, cfg: Optional[I3DConfig] = None, seed: int = 0, **kw):
@@ -65,7 +68,7 @@ class ClipScorer:
         variables = jax.tree.map(jnp.asarray, variables)
         return cls(variables, cfg=cfg, **kw)
 
-    def _score_impl(self, crops, boxes, lm5, valid):
+    def _score_impl(self, crops, boxes, lm5, valid, with_features: bool = False):
         S = self.cfg.crop_size
 
         def align_one(c, b, l):
@@ -76,9 +79,17 @@ class ClipScorer:
             crops, boxes.astype(jnp.float32), lm5.astype(jnp.float32)
         )  # [B, T, S, S, 3] float32 (0..255)
         x = (aligned - IMAGENET_MEAN) / IMAGENET_STD
-        logits = self.model.apply(self.variables, x, train=False)
+        if with_features:
+            logits, feats = self.model.apply(
+                self.variables, x, train=False, return_features=True
+            )
+        else:
+            logits = self.model.apply(self.variables, x, train=False)
         probs = jax.nn.sigmoid(logits[:, self.score_index].astype(jnp.float32))
-        return jnp.where(valid, probs, 0.0)
+        probs = jnp.where(valid, probs, 0.0)
+        if with_features:
+            return probs, logits.astype(jnp.float32), feats
+        return probs
 
     def score(self, crops, boxes, lm5, valid) -> np.ndarray:
         out = self._score(
@@ -97,3 +108,14 @@ class ClipScorer:
         return self._score(
             jnp.asarray(crops), jnp.asarray(boxes), jnp.asarray(lm5), jnp.asarray(valid)
         )
+
+    def score_with_features(self, crops, boxes, lm5, valid):
+        """(probs [B], logits [B, C], penultimate feats [B, 2048]) — the
+        reference captures these with a forward hook for its RGB-fusion
+        branch (altfreezing/feature.py:92 AFModel)."""
+        probs, logits, feats = self._score_feats(
+            jnp.asarray(crops), jnp.asarray(boxes), jnp.asarray(lm5), jnp.asarray(valid)
+        )
+        import numpy as _np
+
+        return _np.asarray(probs), _np.asarray(logits), _np.asarray(feats)
