@@ -1,0 +1,223 @@
+"""Live-call application loop (the reference's test/app_realtime.py).
+
+Headless-friendly: the engine consumes any frame source from
+:mod:`stdd_tpu.runtime.sources`, per-frame overlays are drawn with cv2 (to a
+window when a display exists, else to an optional output video), and the
+meeting-level verdict logic matches the reference:
+
+- self-view exclusion rect in normalized coords (af_realtime.py:311)
+- interlocutor = largest non-self-view face (``pick_interlocutor_id``
+  af_realtime.py:279)
+- meeting verdict: any track with ≥128 frames whose p80 running score clears
+  the threshold (app_realtime.py:75 decide_meeting_fake)
+- per-track hysteresis overlay colors (0.75/0.65)
+
+CLI: ``python -m stdd_tpu.runtime.app --source video.mp4 [--ckpt CKPT]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import time
+from typing import Dict, Iterable, Optional, Tuple
+
+import numpy as np
+
+from ..config import PipelineConfig
+from .engine import StreamingEngine
+from .scoring import decide_meeting_fake
+
+
+def in_exclude_rect(box, H: int, W: int, rect: Tuple[float, float, float, float]) -> bool:
+    """Box center inside the normalized self-view rect (af_realtime.py:311)."""
+    x1, y1, x2, y2 = box
+    cx, cy = 0.5 * (x1 + x2), 0.5 * (y1 + y2)
+    rx1, ry1, rx2, ry2 = rect
+    return (rx1 * W <= cx <= rx2 * W) and (ry1 * H <= cy <= ry2 * H)
+
+
+def pick_interlocutor(
+    last_boxes: Dict[int, np.ndarray], H: int, W: int,
+    exclude_rect: Tuple[float, float, float, float] = (0.70, 0.70, 1.00, 1.00),
+) -> Optional[int]:
+    """Largest face outside the self-view; falls back to largest overall
+    (af_realtime.py:279)."""
+    if not last_boxes:
+        return None
+    cand = [
+        (tid, (b[2] - b[0]) * (b[3] - b[1]))
+        for tid, b in last_boxes.items()
+        if not in_exclude_rect(b, H, W, exclude_rect)
+    ]
+    if not cand:
+        cand = [(tid, (b[2] - b[0]) * (b[3] - b[1])) for tid, b in last_boxes.items()]
+    return max(cand, key=lambda t: t[1])[0]
+
+
+class RealtimeApp:
+    """Engine + running-score bookkeeping + meeting verdict + overlay."""
+
+    def __init__(
+        self,
+        engine: StreamingEngine,
+        threshold: float = 0.362,
+        exclude_rect: Tuple[float, float, float, float] = (0.70, 0.70, 1.00, 1.00),
+        decision_min_frames: int = 128,
+        decision_percentile: float = 80.0,
+    ):
+        self.engine = engine
+        self.threshold = threshold
+        self.exclude_rect = exclude_rect
+        self.decision_min_frames = decision_min_frames
+        self.decision_percentile = decision_percentile
+        self.running_scores: Dict[int, list] = collections.defaultdict(list)
+        self.frames_seen = 0
+
+    def step(self, frame_bgr: np.ndarray):
+        results = self.engine.step(frame_bgr)
+        for tid, p in results:
+            self.running_scores[tid].append(p)
+        self.frames_seen += 1
+        return results
+
+    @property
+    def last_boxes(self) -> Dict[int, np.ndarray]:
+        return {
+            t.track_id: t.tlbr
+            for t in self.engine.tracker.tracked
+            if t.is_activated
+        }
+
+    def meeting_verdict(self) -> Tuple[bool, bool]:
+        """(any track has enough evidence, meeting judged fake)."""
+        frames = dict(self.engine.track_frames)
+        ready = any(
+            n >= self.decision_min_frames and self.running_scores.get(t)
+            for t, n in frames.items()
+        )
+        fake = decide_meeting_fake(
+            self.running_scores, frames, self.threshold,
+            self.decision_min_frames, self.decision_percentile,
+        )
+        return ready, fake
+
+    def draw_overlay(self, frame_bgr: np.ndarray) -> np.ndarray:
+        import cv2
+
+        out = frame_bgr.copy()
+        H, W = out.shape[:2]
+        inter = pick_interlocutor(self.last_boxes, H, W, self.exclude_rect)
+        for tid, box in self.last_boxes.items():
+            x1, y1, x2, y2 = np.rint(box).astype(int)
+            fake = self.engine.hysteresis.fake.get(tid, False)
+            color = (0, 0, 255) if fake else (0, 255, 0)
+            cv2.rectangle(out, (x1, y1), (x2, y2), color, 2)
+            scores = self.running_scores.get(tid, [])
+            label = f"id{tid}"
+            if scores:
+                label += f" {scores[-1]:.2f}"
+            if tid == inter:
+                label += " *"
+            cv2.putText(out, label, (x1, max(12, y1 - 6)),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.5, color, 1)
+        ready, fake = self.meeting_verdict()
+        verdict = "FAKE" if (ready and fake) else ("REAL" if ready else "...")
+        cv2.putText(out, f"meeting: {verdict}", (8, 22),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.7,
+                    (0, 0, 255) if verdict == "FAKE" else (0, 255, 0), 2)
+        return out
+
+
+def run_loop(
+    app: RealtimeApp,
+    frames: Iterable[np.ndarray],
+    show: bool = False,
+    out_video: Optional[str] = None,
+    on_frame=None,
+) -> Tuple[bool, bool]:
+    """Drive the app over a frame source; returns the final meeting verdict
+    (app_realtime.py:96 run_loop, minus the Windows window plumbing)."""
+    import cv2
+
+    writer = None
+    try:
+        for frame in frames:
+            app.step(frame)
+            if show or out_video or on_frame:
+                overlay = app.draw_overlay(frame)
+                if on_frame:
+                    on_frame(overlay)
+                if out_video:
+                    if writer is None:
+                        h, w = overlay.shape[:2]
+                        writer = cv2.VideoWriter(
+                            out_video, cv2.VideoWriter_fourcc(*"mp4v"), 30, (w, h)
+                        )
+                    writer.write(overlay)
+                if show:
+                    cv2.imshow("stdd_tpu", overlay)
+                    if (cv2.waitKey(1) & 0xFF) in (27, ord("q")):
+                        break
+        app.engine.flush()
+        for tid, p in app.engine.track_clip_scores.items():
+            pass
+        return app.meeting_verdict()
+    finally:
+        if writer is not None:
+            writer.release()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--source", required=True, help="video path | 'webcam' | 'webcam:N'")
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--threshold", type=float, default=0.362)
+    ap.add_argument("--clip_size", type=int, default=32)
+    ap.add_argument("--stride", type=int, default=30)
+    ap.add_argument("--detect_every", type=int, default=4)
+    ap.add_argument("--max_frames", type=int, default=None)
+    ap.add_argument("--show", action="store_true")
+    ap.add_argument("--out_video", default=None)
+    args = ap.parse_args(argv)
+
+    from ..models.yunet import YuNetTPU
+    from .classifier import ClipScorer
+    from . import sources
+
+    scorer = (
+        ClipScorer.from_torch_checkpoint(args.ckpt) if args.ckpt
+        else ClipScorer.random_init()
+    )
+    det = YuNetTPU(conf_threshold=0.6)
+
+    def detect_fn(frame_bgr):
+        import cv2
+
+        H, W = frame_bgr.shape[:2]
+        rows = det.detect_np(cv2.resize(frame_bgr, (320, 320)))
+        if rows.size:
+            rows = rows.copy()
+            rows[:, 0:14:2] *= W / 320.0
+            rows[:, 1:14:2] *= H / 320.0
+        return rows
+
+    cfg = PipelineConfig(
+        clip_size=args.clip_size, stride=args.stride,
+        detect_every=args.detect_every, threshold=args.threshold,
+    )
+    engine = StreamingEngine(scorer, detect_fn, cfg=cfg)
+    app = RealtimeApp(engine, threshold=args.threshold)
+
+    if args.source.startswith("webcam"):
+        idx = int(args.source.split(":")[1]) if ":" in args.source else 0
+        frames = sources.iter_webcam(idx, args.max_frames)
+    else:
+        frames = sources.iter_video_file(args.source, max_frames=args.max_frames)
+
+    ready, fake = run_loop(app, frames, show=args.show, out_video=args.out_video)
+    print(f"meeting verdict: ready={ready} fake={fake}")
+
+
+if __name__ == "__main__":
+    main()
