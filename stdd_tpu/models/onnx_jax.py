@@ -13,7 +13,7 @@ order (torch-jit exports are topologically sorted).
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,9 +32,15 @@ class OnnxModule:
 
     def __init__(self, graph: OnnxGraph):
         self.graph = graph
-        self.params: Dict[str, jnp.ndarray] = {
-            k: jnp.asarray(v) for k, v in graph.initializers.items()
-        }
+        # Small integer initializers stay numpy so shape-compute subgraphs
+        # (Shape→Gather→Unsqueeze→Concat→Resize/Reshape, as exported by
+        # SCRFD) constant-fold on host; weights go on device.
+        self.params: Dict[str, Any] = {}
+        for k, v in graph.initializers.items():
+            if v.dtype.kind in "iu" and v.size <= 16:
+                self.params[k] = v
+            else:
+                self.params[k] = jnp.asarray(v)
         self._np_inits = graph.initializers  # host copies for static shapes
 
     @classmethod
@@ -161,7 +167,13 @@ class OnnxModule:
     def _op_reshape(self, node, inputs):
         x = inputs[0]
         shape_name = node.inputs[1]
-        shape = self._np_inits[shape_name].astype(np.int64).tolist()
+        if shape_name in self._np_inits:
+            shape = self._np_inits[shape_name]
+        else:
+            shape = inputs[1]
+            if not isinstance(shape, np.ndarray):
+                raise NotImplementedError("Reshape with traced shape input")
+        shape = np.asarray(shape).astype(np.int64)
         # ONNX: 0 keeps the input dim, -1 infers
         shape = [x.shape[i] if s == 0 else s for i, s in enumerate(shape)]
         return x.reshape(shape)
@@ -173,17 +185,24 @@ class OnnxModule:
         return x.reshape(lead, -1)
 
     def _op_concat(self, node, inputs):
-        return jnp.concatenate(inputs, axis=node.attrs.get("axis", 0))
+        axis = node.attrs.get("axis", 0)
+        if all(isinstance(x, np.ndarray) for x in inputs):
+            return np.concatenate(inputs, axis=axis)
+        return jnp.concatenate([jnp.asarray(x) for x in inputs], axis=axis)
 
     def _op_resize(self, node, inputs):
         x = inputs[0]
         mode = node.attrs.get("mode", "nearest")
-        scales = None
-        if len(node.inputs) > 2 and node.inputs[2]:
-            scales = self._np_inits.get(node.inputs[2])
-        sizes = None
-        if len(node.inputs) > 3 and node.inputs[3]:
-            sizes = self._np_inits.get(node.inputs[3])
+        def resolve(i):
+            if len(node.inputs) <= i or not node.inputs[i]:
+                return None
+            v = self._np_inits.get(node.inputs[i])
+            if (v is None or np.size(v) == 0) and isinstance(inputs[i], np.ndarray):
+                v = inputs[i]
+            return None if v is None or np.size(v) == 0 else v
+
+        scales = resolve(2)
+        sizes = resolve(3)
         if sizes is not None and len(sizes):
             out_hw = (int(sizes[2]), int(sizes[3]))
         else:
@@ -237,22 +256,57 @@ class OnnxModule:
         return inputs[0]
 
     def _op_shape(self, node, inputs):
-        return jnp.asarray(inputs[0].shape, jnp.int64)
+        # static shapes → host constant, enabling constant-folded Reshape/
+        # Resize/Slice chains (SCRFD exports shape-compute subgraphs)
+        return np.asarray(inputs[0].shape, np.int64)
+
+    def _op_gather(self, node, inputs):
+        axis = node.attrs.get("axis", 0)
+        data, idx = inputs[0], inputs[1]
+        if isinstance(data, np.ndarray):
+            # np.take of a 0-d index returns a np scalar; keep it an ndarray
+            return np.asarray(np.take(data, np.asarray(idx).astype(np.int64), axis=axis))
+        return jnp.take(data, jnp.asarray(idx), axis=axis)
+
+    def _op_unsqueeze(self, node, inputs):
+        axes = node.attrs.get("axes")
+        if axes is None and len(node.inputs) > 1:
+            axes = np.asarray(self._np_inits.get(node.inputs[1], inputs[1])).tolist()
+        x = inputs[0]
+        for a in sorted(axes):
+            x = np.expand_dims(x, a) if isinstance(x, np.ndarray) else jnp.expand_dims(x, a)
+        return x
+
+    def _op_squeeze(self, node, inputs):
+        axes = node.attrs.get("axes")
+        x = inputs[0]
+        if axes is None:
+            return x.squeeze()
+        return np.squeeze(x, tuple(axes)) if isinstance(x, np.ndarray) else jnp.squeeze(x, tuple(axes))
+
+    def _op_cast(self, node, inputs):
+        from ..utils.onnx_reader import _DTYPES
+
+        to = _DTYPES[int(node.attrs.get("to", 1))]
+        x = inputs[0]
+        return x.astype(to)
 
     def _op_slice(self, node, inputs):
         x = inputs[0]
-        starts = self._np_inits[node.inputs[1]].tolist()
-        ends = self._np_inits[node.inputs[2]].tolist()
-        axes = (
-            self._np_inits[node.inputs[3]].tolist()
-            if len(node.inputs) > 3 and node.inputs[3]
-            else list(range(len(starts)))
-        )
-        steps = (
-            self._np_inits[node.inputs[4]].tolist()
-            if len(node.inputs) > 4 and node.inputs[4]
-            else [1] * len(starts)
-        )
+
+        def const(i, default=None):
+            if len(node.inputs) > i and node.inputs[i]:
+                v = self._np_inits.get(node.inputs[i])
+                if v is None and isinstance(inputs[i], np.ndarray):
+                    v = inputs[i]
+                if v is not None:
+                    return np.asarray(v).tolist()
+            return default
+
+        starts = const(1)
+        ends = const(2)
+        axes = const(3, list(range(len(starts))))
+        steps = const(4, [1] * len(starts))
         idx = [slice(None)] * x.ndim
         for st, en, ax, sp in zip(starts, ends, axes, steps):
             idx[ax] = slice(st, None if en >= 2**31 - 1 else en, sp)

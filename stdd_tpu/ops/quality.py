@@ -109,8 +109,12 @@ def crop_quality(
         return 0.0, 0.0, 0.0
     h, w = crop_rgb.shape[:2]
     min_side = min(h, w)
-    small = half_res_area(crop_rgb)
-    lap = variance_of_laplacian_np(small)
+    from ..native import crop_lapvar_halfres
+
+    lap = crop_lapvar_halfres(crop_rgb)   # fused C++ path (~30x numpy)
+    if lap is None:
+        small = half_res_area(crop_rgb)
+        lap = variance_of_laplacian_np(small)
     wq = frame_quality_weight(
         min_side, lap, min_size_hard, min_size_soft, lap_hard, lap_soft, weighting
     )

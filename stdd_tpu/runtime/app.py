@@ -81,6 +81,13 @@ class RealtimeApp:
         self.frames_seen += 1
         return results
 
+    def flush(self):
+        """Drain in-flight async batches into the running scores."""
+        results = self.engine.flush()
+        for tid, p in results:
+            self.running_scores[tid].append(p)
+        return results
+
     @property
     def last_boxes(self) -> Dict[int, np.ndarray]:
         return {
@@ -159,9 +166,7 @@ def run_loop(
                     cv2.imshow("stdd_tpu", overlay)
                     if (cv2.waitKey(1) & 0xFF) in (27, ord("q")):
                         break
-        app.engine.flush()
-        for tid, p in app.engine.track_clip_scores.items():
-            pass
+        app.flush()
         return app.meeting_verdict()
     finally:
         if writer is not None:

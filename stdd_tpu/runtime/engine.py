@@ -27,6 +27,8 @@ detections — the same caching cadence the reference uses for its mesh
 from __future__ import annotations
 
 import collections
+import queue
+import threading
 from dataclasses import dataclass, field
 from typing import Any, Callable, Deque, Dict, List, Optional, Sequence, Tuple
 
@@ -120,6 +122,17 @@ class StreamingEngine:
         self.clip_latencies: List[float] = []
         # in-flight async device batches: (clips_meta, device_probs, t_dispatch)
         self.inflight: List[Tuple[List[_PendingClip], Any, float]] = []
+        # background dispatch worker: the host→device upload of a packed clip
+        # batch blocks for seconds through the axon relay; doing it off-thread
+        # keeps the frame loop running (decode/track/pack fully overlap with
+        # upload AND device compute). One worker per engine, surviving resets.
+        if not hasattr(self, "_worker"):
+            self._lock = threading.Lock()
+            self._dispatch_q = queue.Queue()
+            self._worker = threading.Thread(target=self._dispatch_worker, daemon=True)
+            self._worker.start()
+        else:
+            self._dispatch_q.join()   # drain anything from the previous video
 
     # -- per-frame host path -------------------------------------------------
 
@@ -291,15 +304,33 @@ class StreamingEngine:
             for ti, e in enumerate(entries):
                 c = e.crop
                 if s < 1.0:
-                    c = _resize_area(c, s)
-                h, w = c.shape[:2]
-                crops[bi, ti, :h, :w] = c
+                    from ..native import resize_area_pack
+
+                    if not resize_area_pack(c, crops[bi, ti], s):
+                        c = _resize_area(c, s)
+                        h, w = c.shape[:2]
+                        crops[bi, ti, :h, :w] = c
+                else:
+                    h, w = c.shape[:2]
+                    crops[bi, ti, :h, :w] = c
                 boxes[bi, ti] = e.big_box.astype(np.float32) * s
                 lm5[bi, ti] = e.lm5 * s
             valid[bi] = True
 
-        dev = self.scorer.score_async(crops, boxes, lm5, valid)
-        self.inflight.append((batch, dev, time.perf_counter()))
+        self._dispatch_q.put((batch, crops, boxes, lm5, valid, time.perf_counter()))
+
+    def _dispatch_worker(self) -> None:
+        while True:
+            item = self._dispatch_q.get()
+            try:
+                if item is None:
+                    continue
+                batch, crops, boxes, lm5, valid, t0 = item
+                dev = self.scorer.score_async(crops, boxes, lm5, valid)
+                with self._lock:
+                    self.inflight.append((batch, dev, t0))
+            finally:
+                self._dispatch_q.task_done()
 
     def _harvest(self, block: bool) -> List[Tuple[int, float]]:
         """Collect finished device batches; with ``block=False`` only batches
@@ -307,11 +338,17 @@ class StreamingEngine:
         when the pipeline depth exceeds 2, to bound memory)."""
         import time
 
+        if block:
+            self._dispatch_q.join()   # wait for uploads to reach the device
         out: List[Tuple[int, float]] = []
-        while self.inflight:
-            batch, dev, t0 = self.inflight[0]
+        while True:
+            with self._lock:
+                if not self.inflight:
+                    break
+                batch, dev, t0 = self.inflight[0]
+                depth = len(self.inflight)
             ready = True
-            if not block and len(self.inflight) <= 2:
+            if not block and depth <= 2:
                 try:
                     ready = bool(dev.is_ready())
                 except AttributeError:
@@ -320,7 +357,8 @@ class StreamingEngine:
                 break
             probs = np.asarray(dev)
             self.clip_latencies.append(time.perf_counter() - t0)
-            self.inflight.pop(0)
+            with self._lock:
+                self.inflight.pop(0)
             for bi, clip in enumerate(batch):
                 p = float(probs[bi])
                 self.track_clip_scores[clip.tid].append(p)

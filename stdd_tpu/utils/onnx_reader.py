@@ -151,8 +151,11 @@ def _parse_tensor(buf: bytes) -> OnnxTensor:
         arr = np.asarray(i32, dtype=np.int32)
     else:
         arr = np.zeros(0, np_dtype)
-    if dims:
+    # reshape even when dims == [] so scalar tensors come out 0-d
+    try:
         arr = arr.reshape(dims)
+    except ValueError:
+        pass
     return OnnxTensor(name, arr)
 
 

@@ -90,3 +90,29 @@ def test_batched_detect_shapes():
     dets, mask = mine.detect(frames)
     assert dets.shape == (2, 32, 15)
     assert mask.shape == (2, 32)
+
+
+def test_scrfd_backbone_parity_with_cv2dnn():
+    from stdd_tpu.models.scrfd import DEFAULT_MODEL as SCRFD_MODEL, SCRFDDetector
+
+    m = SCRFDDetector(conf_threshold=0.3, top_k=32)
+    rng = np.random.RandomState(0)
+    blob = (rng.randn(1, 3, 320, 320) * 20).astype(np.float32)
+    out = m.module(blob)
+    net = cv2.dnn.readNet(SCRFD_MODEL)
+    net.setInput(blob)
+    names = list(out.keys())
+    ref = net.forward(names)
+    for k, r in zip(names, ref):
+        np.testing.assert_allclose(np.asarray(out[k]), r, rtol=1e-3, atol=1e-4)
+
+
+def test_scrfd_detect_shapes():
+    from stdd_tpu.models.scrfd import SCRFDDetector
+
+    m = SCRFDDetector(conf_threshold=0.5, top_k=16)
+    frames = np.random.RandomState(1).randint(0, 255, (2, 320, 320, 3), np.uint8)
+    dets, mask = m.detect(frames)
+    assert dets.shape == (2, 16, 15) and mask.shape == (2, 16)
+    rows = m.detect_np(frames[0])
+    assert rows.ndim == 2 and rows.shape[1] == 15
