@@ -126,11 +126,17 @@ class StreamingEngine:
         # batch blocks for seconds through the axon relay; doing it off-thread
         # keeps the frame loop running (decode/track/pack fully overlap with
         # upload AND device compute). One worker per engine, surviving resets.
-        if not hasattr(self, "_worker"):
+        if not hasattr(self, "_workers"):
             self._lock = threading.Lock()
             self._dispatch_q = queue.Queue()
-            self._worker = threading.Thread(target=self._dispatch_worker, daemon=True)
-            self._worker.start()
+            # two upload lanes: through the relay a single 50MB H2D takes
+            # seconds; two threads overlap consecutive batch uploads
+            self._workers = [
+                threading.Thread(target=self._dispatch_worker, daemon=True)
+                for _ in range(2)
+            ]
+            for w in self._workers:
+                w.start()
         else:
             self._dispatch_q.join()   # drain anything from the previous video
 
@@ -343,27 +349,35 @@ class StreamingEngine:
         out: List[Tuple[int, float]] = []
         while True:
             with self._lock:
-                if not self.inflight:
-                    break
-                batch, dev, t0 = self.inflight[0]
-                depth = len(self.inflight)
-            ready = True
-            if not block and depth <= 2:
-                try:
-                    ready = bool(dev.is_ready())
-                except AttributeError:
-                    ready = True
-            if not ready:
+                entries = list(self.inflight)
+            if not entries:
                 break
-            probs = np.asarray(dev)
-            self.clip_latencies.append(time.perf_counter() - t0)
-            with self._lock:
-                self.inflight.pop(0)
-            for bi, clip in enumerate(batch):
-                p = float(probs[bi])
-                self.track_clip_scores[clip.tid].append(p)
-                self.hysteresis.update(clip.tid, p)
-                out.append((clip.tid, p))
+            took_any = False
+            for entry in entries:
+                batch, dev, t0 = entry
+                ready = True
+                if not block and len(entries) <= 2:
+                    try:
+                        ready = bool(dev.is_ready())
+                    except AttributeError:
+                        ready = True
+                if not ready:
+                    continue
+                probs = np.asarray(dev)
+                self.clip_latencies.append(time.perf_counter() - t0)
+                with self._lock:
+                    try:
+                        self.inflight.remove(entry)
+                    except ValueError:
+                        continue
+                took_any = True
+                for bi, clip in enumerate(batch):
+                    p = float(probs[bi])
+                    self.track_clip_scores[clip.tid].append(p)
+                    self.hysteresis.update(clip.tid, p)
+                    out.append((clip.tid, p))
+            if not took_any:
+                break
         return out
 
 def _iou_one_to_many(box: np.ndarray, boxes: np.ndarray) -> np.ndarray:

@@ -1,0 +1,135 @@
+"""Misc utilities: parameter/FLOP counting, rank-strided list sharding,
+resource sampling, dataset subsetting — the reference's grab-bag
+(``slowfast/utils/misc.py``, ``utils/common.py:50`` skipShardSplit,
+``demo.py:29`` UtilizationSampler, ``sample_subset.py``)."""
+
+from __future__ import annotations
+
+import os
+import random
+import shutil
+import threading
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+
+def params_count(params) -> int:
+    """Total parameter count (misc.py:params_count)."""
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+def flop_count(fn: Callable, *args) -> Optional[float]:
+    """Analytical FLOPs of a jitted function via XLA cost analysis — the
+    fvcore flop-analysis equivalent (misc.py:115 get_model_stats)."""
+    try:
+        lowered = jax.jit(fn).lower(*args)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", float("nan")))
+    except Exception:
+        return None
+
+
+def device_mem_stats() -> Dict[str, float]:
+    """Device memory in MB (the reference reads torch.cuda.max_memory_allocated,
+    TEST2.py:321)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        return {
+            "bytes_in_use_mb": stats.get("bytes_in_use", 0) / 2 ** 20,
+            "peak_bytes_in_use_mb": stats.get("peak_bytes_in_use", 0) / 2 ** 20,
+        }
+    except Exception:
+        return {}
+
+
+def skip_shard_split(items: Sequence, rank: int, world: int) -> List:
+    """Rank-strided sharding of a work list (utils/common.py:50
+    skipShardSplit): item i goes to rank i % world."""
+    return [x for i, x in enumerate(items) if i % world == rank]
+
+
+class UtilizationSampler:
+    """Background CPU/RSS sampler (demo.py:29). Uses psutil when present;
+    degrades to RUSAGE."""
+
+    def __init__(self, period_sec: float = 0.2):
+        self.period = period_sec
+        self.cpu: List[float] = []
+        self.rss_mb: List[float] = []
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    def __enter__(self):
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=2)
+
+    def _run(self):
+        try:
+            import psutil
+
+            p = psutil.Process(os.getpid())
+            while not self._stop.wait(self.period):
+                self.cpu.append(p.cpu_percent(interval=None))
+                self.rss_mb.append(p.memory_info().rss / 2 ** 20)
+        except ImportError:
+            import resource
+
+            while not self._stop.wait(self.period):
+                ru = resource.getrusage(resource.RUSAGE_SELF)
+                self.rss_mb.append(ru.ru_maxrss / 1024.0)
+
+    def summary(self) -> Dict[str, float]:
+        def s(a, f):
+            return float(f(a)) if a else float("nan")
+
+        return {
+            "cpu_mean": s(self.cpu, np.mean),
+            "rss_mb_mean": s(self.rss_mb, np.mean),
+            "rss_mb_max": s(self.rss_mb, np.max),
+        }
+
+
+def sample_subset(
+    src_root: str, dst_root: str, n_per_class: int, seed: int = 0,
+    link: bool = True, exts=(".mp4", ".avi", ".mov", ".mkv"),
+) -> Dict[str, int]:
+    """Symlink/copy a balanced per-class video subset preserving relative
+    paths (sample_subset.py:33-64)."""
+    from ..eval.harness import classify_path
+
+    pools: Dict[int, List[str]] = {0: [], 1: []}
+    for dirpath, _, files in os.walk(src_root):
+        for fn in files:
+            if fn.lower().endswith(exts):
+                p = os.path.join(dirpath, fn)
+                lab = classify_path(p)
+                if lab in pools:
+                    pools[lab].append(p)
+    rng = random.Random(seed)
+    counts = {"real": 0, "fake": 0}
+    for lab, key in ((0, "real"), (1, "fake")):
+        pool = sorted(pools[lab])
+        rng.shuffle(pool)
+        for p in pool[:n_per_class]:
+            rel = os.path.relpath(p, src_root)
+            dst = os.path.join(dst_root, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            if os.path.exists(dst):
+                continue
+            if link:
+                os.symlink(os.path.abspath(p), dst)
+            else:
+                shutil.copy2(p, dst)
+            counts[key] += 1
+    return counts

@@ -180,3 +180,35 @@ def test_degrader_shapes():
     assert all(f.shape == (64, 64, 3) for f in out)
     # degraded differs from input
     assert any(np.abs(a.astype(int) - b.astype(int)).mean() > 1 for a, b in zip(out, frames))
+
+
+def test_regen_dataset(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.RandomState(0)
+
+    for tech in ("original", "deepfakes"):
+        d = tmp_path / tech
+        os.makedirs(d, exist_ok=True)
+        vw = cv2.VideoWriter(str(d / "v.mp4"), cv2.VideoWriter_fourcc(*"mp4v"),
+                             30, (160, 120))
+        for _ in range(30):
+            vw.write(rng.randint(0, 255, (120, 160, 3), np.uint8))
+        vw.release()
+
+    def fake_landmarker(frame_rgb):
+        r = np.random.RandomState(int(frame_rgb[0, 0, 0]))
+        return r.uniform(0.2, 0.8, (478, 2)).astype(np.float32) * 100
+
+    from stdd_tpu.data.regen import DualVideoRegenDataset
+
+    ds = DualVideoRegenDataset(
+        [str(tmp_path / "original" / "v.mp4"), str(tmp_path / "deepfakes" / "v.mp4")],
+        landmarker=fake_landmarker, T=8, is_train=True, seed=1,
+    )
+    assert len(ds) == 2 and ds.labels == [0, 1]
+    item = ds[0]
+    assert item["L"].shape == (8, 132) and item["A"].shape == (8, 36)
+    assert item["lengths"] >= 1
+    assert item["A"].sum() == 0  # zero AUs without an extractor (reference :239)
+    batch = ds.load_all()
+    assert batch['A'].shape == (2, 8, 36)
