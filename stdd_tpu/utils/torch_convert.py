@@ -226,3 +226,27 @@ def retinaface_torch_to_flax(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
         put_conv(f"bbox_head{i}", f"BboxHead.{i}.conv1x1")
         put_conv(f"ldm_head{i}", f"LandmarkHead.{i}.conv1x1")
     return {"params": params, "batch_stats": stats}
+
+
+def sub_to_normal_bn(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """Convert Sub-BatchNorm checkpoints to plain-BN naming before conversion
+    (reference slowfast/utils/checkpoint.py:340): `bn.bn.running_*` →
+    `bn.running_*`, `bn.split_bn.*` dropped, 4-d BN affine params squeezed."""
+    new_sd: Dict[str, Any] = {}
+    for key, val in state_dict.items():
+        if ".split_bn." in key:
+            continue
+        k = key
+        for before, after in (
+            ("bn.bn.running_mean", "bn.running_mean"),
+            ("bn.bn.running_var", "bn.running_var"),
+        ):
+            if k.endswith(before):
+                k = k[: -len(before)] + after
+        if "bn.bn." in k:
+            continue
+        arr = np.asarray(val.detach().cpu().numpy() if hasattr(val, "detach") else val)
+        if (k.endswith("bn.weight") or k.endswith("bn.bias")) and arr.ndim == 4:
+            arr = arr[:, 0, 0, 0]
+        new_sd[k] = arr
+    return new_sd

@@ -89,3 +89,65 @@ def test_landmark_predictor_geometry():
     back = reproject(cb, lm)
     np.testing.assert_allclose(back[0], [x1, y1])
     np.testing.assert_allclose(back[1], [x2, y2])
+
+
+def test_video_io_helpers(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    from stdd_tpu.utils.video_io import (
+        get_clips_uniform,
+        get_valid_faces,
+        grab_all_frames,
+        sample_chunks,
+        scale_detect,
+        weak_check,
+    )
+
+    p = str(tmp_path / "v.mp4")
+    vw = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 30, (64, 48))
+    for i in range(20):
+        vw.write(np.full((48, 64, 3), i * 10 % 255, np.uint8))
+    vw.release()
+
+    frames = grab_all_frames(p, max_size=10)
+    assert len(frames) == 10
+    assert sample_chunks(list(range(10)), 4, 3) == [
+        list(range(0, 4)), list(range(3, 7)), list(range(6, 10))]
+    clips = get_clips_uniform(p, count=3, clip_size=5)
+    assert len(clips) == 3 and all(len(c) == 5 for c in clips)
+
+    faces = [[(np.array([1, 2, 10, 12]), np.ones((5, 2)) * 5, 0.9)], []]
+    assert not weak_check(faces)
+    valid = get_valid_faces(faces, w=20, h=20, scale=1.0)
+    assert len(valid[0]) == 1
+    # out-of-frame after scaling → dropped
+    valid2 = get_valid_faces(faces, w=15, h=15, scale=2.0)
+    assert len(valid2[0]) == 0
+
+    def fake_det(frames_small):
+        h, w = frames_small[0].shape[:2]
+        return [[(np.array([1.0, 1.0, w / 2, h / 2]), np.ones((5, 2)) * 2, 0.9)]
+                for _ in frames_small]
+
+    res = scale_detect(fake_det, [np.zeros((2400, 3840, 3), np.uint8)])
+    (box, lm, score), = res[0]
+    assert box[2] > 900  # rescaled back to ~frame coords
+
+
+def test_sub_to_normal_bn():
+    import torch
+
+    from stdd_tpu.utils.torch_convert import sub_to_normal_bn
+
+    sd = {
+        "s1.bn.bn.running_mean": torch.ones(4),
+        "s1.bn.bn.running_var": torch.ones(4),
+        "s1.bn.split_bn.num_batches_tracked": torch.tensor(1),
+        "s1.bn.weight": torch.ones(4, 1, 1, 1),
+        "s1.bn.bias": torch.zeros(4),
+        "s1.conv.weight": torch.ones(4, 3, 1, 1, 1),
+    }
+    out = sub_to_normal_bn(sd)
+    assert "s1.bn.running_mean" in out and "s1.bn.bn.running_mean" not in out
+    assert not any(".split_bn." in k for k in out)
+    assert out["s1.bn.weight"].shape == (4,)
+    assert out["s1.conv.weight"].shape == (4, 3, 1, 1, 1)
