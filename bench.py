@@ -38,7 +38,9 @@ def bench_engine():
 
     on_tpu = jax.devices()[0].platform != "cpu"
     if on_tpu:
-        pipe = PipelineConfig(clip_size=32, stride=8, detect_every=4, batch_clips=8,
+        # the reference's realtime operating point: clip 32, stride 30,
+        # detect_every 4 (BASELINE.md / app_realtime.py:153)
+        pipe = PipelineConfig(clip_size=32, stride=30, detect_every=4, batch_clips=8,
                               min_face_side=10)
         scorer = ClipScorer.random_init()  # full I3D-R50 bf16
         frame_hw = (1080, 1920)
@@ -101,7 +103,8 @@ def bench_engine():
         "metric": "streaming_fps_1080p" if on_tpu else "streaming_fps_cpu_fallback",
         "value": round(fps, 2),
         "unit": f"frames/s end-to-end ({frame_hw[0]}p, clip {pipe.clip_size}, "
-                f"batch {pipe.batch_clips}; clip-batch latency {lat_ms:.0f} ms)",
+                f"stride {pipe.stride}, batch {pipe.batch_clips}; "
+                f"clip-batch latency {lat_ms:.0f} ms)",
         "vs_baseline": round(fps / BASELINE_STREAM_FPS, 3),
     }
 
