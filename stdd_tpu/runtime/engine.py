@@ -87,6 +87,7 @@ class StreamingEngine:
         q_lap_soft: float = 60.0,
         q_weighting: bool = True,
         track_kwargs: Optional[dict] = None,
+        max_batch_wait_frames: Optional[int] = None,
     ):
         self.cfg = cfg or PipelineConfig()
         self.scorer = scorer
@@ -105,6 +106,10 @@ class StreamingEngine:
             track_thresh=0.6, match_thresh=0.6, track_buffer=2000,
             split_low_scores=False,  # reference-production behavior
         )
+        # latency mode: dispatch a partially-filled batch after this many
+        # frames rather than waiting for batch_clips windows (at the realtime
+        # stride a full batch can take minutes to fill on a 1-face call)
+        self.max_batch_wait_frames = max_batch_wait_frames
         self.reset()
 
     def reset(self) -> None:
@@ -115,6 +120,7 @@ class StreamingEngine:
         self.since_emit: Dict[int, int] = collections.defaultdict(lambda: 10 ** 9)
         self.last_seen: Dict[int, int] = {}
         self.pending: List[_PendingClip] = []
+        self._oldest_pending_age: Optional[int] = None
         self.track_clip_scores: Dict[int, List[float]] = collections.defaultdict(list)
         self.track_frames: Dict[int, int] = collections.defaultdict(int)
         self.hysteresis = HysteresisState(self.cfg.t_high, self.cfg.t_low)
@@ -204,13 +210,22 @@ class StreamingEngine:
                 len(buf) >= self.cfg.clip_size
                 and self.since_emit[tid] >= self.cfg.stride
             ):
+                if not self.pending:
+                    self._oldest_pending_age = 0
                 self.pending.append(_PendingClip(tid, list(buf)))
                 self.since_emit[tid] = 0
 
         self._gc_tracks()
 
-        if len(self.pending) >= self.cfg.batch_clips:
+        if self.pending and self._oldest_pending_age is not None:
+            self._oldest_pending_age += 1
+        if len(self.pending) >= self.cfg.batch_clips or (
+            self.pending
+            and self.max_batch_wait_frames is not None
+            and (self._oldest_pending_age or 0) >= self.max_batch_wait_frames
+        ):
             self._dispatch()
+            self._oldest_pending_age = 0 if self.pending else None
         results.extend(self._harvest(block=False))
         return results
 

@@ -1,0 +1,143 @@
+"""AltFreezing I3D training CLI.
+
+Trains the flagship 3D-CNN from a preprocessed clip tree with the
+alternating temporal/spatial schedule (the CVPR'23 AltFreezing mechanism),
+SGD-momentum + warmup-cosine, epoch checkpoints with resume, precise-BN, and
+per-epoch validation AUC.
+
+    python -m stdd_tpu.train.run_i3d --data TREE --out runs/i3d \
+        [--clip_size 32 --batch 8 --base_lr 0.04 --alter_freq 20 ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--data", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--clip_size", type=int, default=32)
+    ap.add_argument("--crop_size", type=int, default=224)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--epochs", type=int, default=50)
+    ap.add_argument("--base_lr", type=float, default=0.04)
+    ap.add_argument("--warmup_epochs", type=float, default=10.0)
+    ap.add_argument("--alter_freq", type=int, default=20)
+    ap.add_argument("--optimizer", default="sgd", choices=["sgd", "adam"])
+    ap.add_argument("--weight_decay", type=float, default=1e-4)
+    ap.add_argument("--val_ratio", type=float, default=0.15)
+    ap.add_argument("--precise_bn_batches", type=int, default=0)
+    ap.add_argument("--max_to_keep", type=int, default=5)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--ftcn", action="store_true", help="use the FTCN variant")
+    ap.add_argument("--bf16", action="store_true", default=True)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import I3DConfig
+    from ..data.dataset_i3d import I3DClipDataset
+    from ..data.splits import make_split
+    from ..models.ftcn import FTCN
+    from ..models.i3d import I3D, normalize_clip
+    from ..train.engine_i3d import I3DTrainArgs, init_i3d_training, precise_bn_update
+    from ..train.metrics import metrics_from_logits
+    from ..utils.checkpoint import find_last, load_checkpoint, save_checkpoint
+    from ..utils.logging import get_logger, set_logger_dir
+    from ..utils.meters import TrainMeter, ValMeter
+
+    os.makedirs(args.out, exist_ok=True)
+    set_logger_dir(args.out)
+    log = get_logger("i3d")
+
+    import glob
+
+    dirs = sorted(glob.glob(os.path.join(args.data, "**", "track_*", "clip_*"),
+                            recursive=True))
+    split = make_split(dirs, ratios=(1 - args.val_ratio, args.val_ratio, 0.0),
+                       seed=args.seed)
+    train_ds = I3DClipDataset(clip_dirs=split["train"], T=args.clip_size,
+                              is_train=True, seed=args.seed)
+    val_ds = I3DClipDataset(clip_dirs=split["val"], T=args.clip_size) \
+        if split["val"] else None
+    log.info(f"train windows={len(train_ds)} val={len(val_ds) if val_ds else 0}")
+
+    cfg = I3DConfig(num_frames=args.clip_size, crop_size=args.crop_size,
+                    temporal_only=args.ftcn)
+    model_cls = FTCN if args.ftcn else I3D
+    model = model_cls(cfg=cfg, dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+
+    steps_per_epoch = max(1, len(train_ds) // args.batch)
+    targs = I3DTrainArgs(
+        base_lr=args.base_lr, max_epoch=args.epochs, warmup_epochs=args.warmup_epochs,
+        warmup_start_lr=args.base_lr / 4, optimizer=args.optimizer,
+        weight_decay=args.weight_decay, alter_freq=args.alter_freq,
+        steps_per_epoch=steps_per_epoch, seed=args.seed, grad_clip=1.0,
+    )
+    sample = jnp.zeros((args.batch, args.clip_size, args.crop_size, args.crop_size, 3))
+    state, step_fn, sched = init_i3d_training(model, targs, sample)
+
+    start_epoch = 0
+    if args.resume:
+        last = find_last(args.out, "i3d")
+        if last:
+            start_epoch, path = last
+            tree = load_checkpoint(path, {"params": state.params,
+                                          "batch_stats": state.batch_stats})
+            state = state.__class__(tree["params"], tree["batch_stats"],
+                                    state.opt_state, jnp.asarray(start_epoch * steps_per_epoch))
+            log.info(f"resumed from epoch {start_epoch}")
+
+    @jax.jit
+    def eval_fwd(params, batch_stats, clips):
+        return model.apply({"params": params, "batch_stats": batch_stats},
+                           clips, train=False)
+
+    rng = jax.random.PRNGKey(args.seed)
+    val_meter = ValMeter()
+    for epoch in range(start_epoch, args.epochs):
+        meter = TrainMeter(steps_per_epoch, args.epochs, log_period=10)
+        for it, (clips, ys) in enumerate(
+            train_ds.batches(args.batch, seed=args.seed + epoch)
+        ):
+            meter.iter_tic()
+            x = normalize_clip(jnp.asarray(clips))
+            state, m = step_fn(state, x, jnp.asarray(ys), rng)
+            meter.iter_toc()
+            meter.update_stats(float(m["loss"]), float(sched(state.step)),
+                               len(ys), acc=float(m["acc"]))
+            meter.log_iter_stats(epoch, it)
+        meter.log_epoch_stats(epoch)
+
+        if args.precise_bn_batches:
+            pb = (normalize_clip(jnp.asarray(c))
+                  for c, _ in train_ds.batches(args.batch, seed=999))
+            import itertools
+
+            state = precise_bn_update(model, state,
+                                      itertools.islice(pb, args.precise_bn_batches))
+
+        if val_ds is not None and len(val_ds):
+            logits, ys_all = [], []
+            for clips, ys in val_ds.batches(args.batch, shuffle=False):
+                out = eval_fwd(state.params, state.batch_stats,
+                               normalize_clip(jnp.asarray(clips)))
+                logits.append(np.asarray(out)[:, 0])
+                ys_all.append(ys)
+            vm = metrics_from_logits(np.concatenate(logits), np.concatenate(ys_all))
+            val_meter.update(vm["roc_auc"], epoch)
+        save_checkpoint(args.out, "i3d", epoch + 1,
+                        {"params": state.params, "batch_stats": state.batch_stats},
+                        max_to_keep=args.max_to_keep)
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -113,3 +113,25 @@ def test_get_crop_box_matches_reference():
         np.testing.assert_array_equal(
             get_crop_box(shape, box.copy(), scale), ref_gcb(shape, box.copy(), scale)
         )
+
+
+def test_partial_batch_latency_mode():
+    """max_batch_wait_frames dispatches half-filled batches — clip scores
+    arrive without waiting for batch_clips windows."""
+    scorer = ClipScorer.random_init(cfg=SMALL_CFG, dtype=jnp.float32)
+    detect = make_fake_detector(1)
+    import dataclasses
+
+    pipe = dataclasses.replace(PIPE, batch_clips=8, stride=4)
+    eng = StreamingEngine(
+        scorer, detect, cfg=pipe, crop_buffer=160,
+        q_lap_hard=0.0, q_weighting=False, max_batch_wait_frames=3,
+    )
+    scored = []
+    for fr in _frames(20):
+        scored += eng.step(fr)
+    scored += eng.flush()
+    # one face, clip 8, stride 4 → 4 windows over 20 frames; with a batch of
+    # 8 nothing would dispatch until flush; the wait cap forces earlier sends
+    assert len(scored) >= 3
+    assert len(eng.clip_latencies) >= 2  # multiple partial dispatches
