@@ -163,6 +163,7 @@ def run_video(engine, video_path: str, threshold: float, max_frames=None, **agg)
         "fps": frames / max(elapsed, 1e-6),
         "latency_ms_clip_mean": lat_ms,
         "num_tracks": len(engine.track_clip_scores),
+        "id_switch_rate": 1000.0 * engine.id_switches / max(frames, 1),
         "pred_label": int(verdict.video_fake),
         "video_score": float(verdict.video_score),
         "per_person_labels": verdict.per_person_labels,
@@ -239,7 +240,7 @@ def write_csvs(rows: List[Dict], summary: Dict, out_dir: str, threshold: float) 
                 f"{r['video_score']:.6f}", threshold,
                 r["frames_processed"], f"{r['elapsed_s']:.3f}",
                 f"{r['fps']:.3f}", f"{r['latency_ms_clip_mean']:.3f}",
-                r["num_tracks"], r.get("id_switch_rate", 0.0),
+                r["num_tracks"], f"{r.get('id_switch_rate', 0.0):.3f}",
                 f"{r.get('device_mem_peak_mb', float('nan')):.1f}",
                 f"{r.get('cpu_mem_peak_mb', float('nan')):.1f}",
                 r.get("model_size", 0),

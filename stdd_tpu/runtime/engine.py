@@ -88,6 +88,8 @@ class StreamingEngine:
         q_weighting: bool = True,
         track_kwargs: Optional[dict] = None,
         max_batch_wait_frames: Optional[int] = None,
+        min_det_area: float = 0.0,
+        exclude_bottom_frac: float = 0.0,
     ):
         self.cfg = cfg or PipelineConfig()
         self.scorer = scorer
@@ -110,6 +112,9 @@ class StreamingEngine:
         # frames rather than waiting for batch_clips windows (at the realtime
         # stride a full batch can take minutes to fill on a 1-face call)
         self.max_batch_wait_frames = max_batch_wait_frames
+        # extra detection filters (TEST2.py:516-529)
+        self.min_det_area = min_det_area
+        self.exclude_bottom_frac = exclude_bottom_frac
         self.reset()
 
     def reset(self) -> None:
@@ -126,6 +131,9 @@ class StreamingEngine:
         self.hysteresis = HysteresisState(self.cfg.t_high, self.cfg.t_low)
         self.qstats: Dict[int, List[Tuple[float, float]]] = collections.defaultdict(list)
         self.clip_latencies: List[float] = []
+        self.id_switches = 0
+        self._prev_boxes: Optional[np.ndarray] = None
+        self._prev_ids: Optional[List[int]] = None
         # in-flight async device batches: (clips_meta, device_probs, t_dispatch)
         self.inflight: List[Tuple[List[_PendingClip], Any, float]] = []
         # background dispatch worker: the host→device upload of a packed clip
@@ -160,6 +168,11 @@ class StreamingEngine:
                 keep = (dets[:, 14] >= self.start_conf) & (
                     np.maximum(dets[:, 2], dets[:, 3]) >= self.cfg.min_face_side
                 )
+                if self.min_det_area > 0:
+                    keep &= dets[:, 2] * dets[:, 3] >= self.min_det_area
+                if self.exclude_bottom_frac > 0:
+                    cy = dets[:, 1] + 0.5 * dets[:, 3]
+                    keep &= cy < H * (1.0 - self.exclude_bottom_frac)
                 dets = dets[keep]
 
         if dets is not None:
@@ -174,6 +187,22 @@ class StreamingEngine:
             live = self.tracker.update(tlbr)
         else:
             live = [t for t in self.tracker.tracked if t.is_activated]
+
+        # id-switch accounting (TEST2.py:542-556): an id change on a
+        # high-IoU box pair between consecutive frames counts as a switch
+        cur_boxes = [t.tlbr.astype(np.float32) for t in live]
+        cur_ids = [t.track_id for t in live]
+        if cur_boxes:
+            cb = np.stack(cur_boxes)
+            if self._prev_boxes is not None:
+                from ..track.matching import bbox_ious_plus1
+
+                ious = bbox_ious_plus1(self._prev_boxes, cb)
+                for i_prev in range(len(self._prev_boxes)):
+                    j = int(np.argmax(ious[i_prev]))
+                    if ious[i_prev, j] >= 0.5 and self._prev_ids[i_prev] != cur_ids[j]:
+                        self.id_switches += 1
+            self._prev_boxes, self._prev_ids = cb, cur_ids
 
         frame_rgb = frame_bgr[:, :, ::-1]
         results: List[Tuple[int, float]] = []

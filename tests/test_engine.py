@@ -135,3 +135,64 @@ def test_partial_batch_latency_mode():
     # 8 nothing would dispatch until flush; the wait cap forces earlier sends
     assert len(scored) >= 3
     assert len(eng.clip_latencies) >= 2  # multiple partial dispatches
+
+
+def test_id_switch_counter():
+    """An id change on a high-IoU box pair between consecutive frames counts
+    (TEST2.py:542-556)."""
+    scorer = ClipScorer.random_init(cfg=SMALL_CFG, dtype=jnp.float32)
+    eng = StreamingEngine(scorer, lambda f: np.empty((0, 15)), cfg=PIPE)
+
+    class _T:
+        def __init__(self, tid, box):
+            self.track_id = tid
+            self._box = np.asarray(box, np.float32)
+            self.is_activated = True
+
+        @property
+        def tlbr(self):
+            return self._box
+
+    class _StubTracker:
+        def __init__(self):
+            self.seq = [
+                [_T(1, [10, 10, 60, 70])],
+                [_T(1, [11, 10, 61, 70])],   # same id → no switch
+                [_T(2, [12, 10, 62, 70])],   # same box, new id → switch
+                [_T(2, [13, 10, 63, 70])],
+                [_T(3, [200, 10, 250, 70])],  # id change but NO overlap → no switch
+            ]
+            self.i = 0
+            self.tracked = []
+
+        def update(self, dets):
+            out = self.seq[min(self.i, len(self.seq) - 1)]
+            self.i += 1
+            self.tracked = out
+            return out
+
+    eng.tracker = _StubTracker()
+    frame = np.zeros((240, 320, 3), np.uint8)
+    for _ in range(5):
+        eng.step(frame)
+    assert eng.id_switches == 1
+
+
+def test_detection_filters():
+    """min_det_area and exclude_bottom_frac drop detections (TEST2.py:516-529)."""
+    scorer = ClipScorer.random_init(cfg=SMALL_CFG, dtype=jnp.float32)
+    seen = []
+
+    def detect(frame):
+        rows = [
+            [10, 10, 30, 30, *([0.0] * 10), 0.9],     # area 900 < 2000 → dropped
+            [10, 10, 80, 80, *([0.0] * 10), 0.9],     # ok
+            [10, 210, 80, 80, *([0.0] * 10), 0.9],    # bottom 10% center → dropped
+        ]
+        return np.asarray(rows, np.float32)
+
+    eng = StreamingEngine(
+        scorer, detect, cfg=PIPE, min_det_area=2000, exclude_bottom_frac=0.2,
+    )
+    eng.step(np.zeros((300, 320, 3), np.uint8))
+    assert len(eng.tracker.tracked) == 1
