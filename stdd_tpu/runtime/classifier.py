@@ -42,6 +42,7 @@ class ClipScorer:
         score_index: int = 0,
         use_pallas_warp: Optional[bool] = None,
         warp_band: int = 64,
+        round_aligned_u8: bool = False,
     ):
         self.cfg = cfg or I3DConfig()
         if use_pallas_warp is None:
@@ -49,6 +50,10 @@ class ClipScorer:
             use_pallas_warp = jax.devices()[0].platform not in ("cpu",)
         self.use_pallas_warp = use_pallas_warp
         self.warp_band = warp_band
+        # cv2.warpAffine on a uint8 canvas rounds to uint8 before the model
+        # sees the pixels (faster_crop_align_xray.py:85); enable to reproduce
+        # the reference's quantization exactly (costs a little fidelity)
+        self.round_aligned_u8 = round_aligned_u8
         self.model = I3D(cfg=self.cfg, dtype=dtype)
         self.variables = variables
         self.score_index = score_index
@@ -113,6 +118,8 @@ class ClipScorer:
         aligned = self._align_batch(
             crops, boxes.astype(jnp.float32), lm5.astype(jnp.float32)
         )  # [B, T, S, S, 3] float32 (0..255)
+        if self.round_aligned_u8:
+            aligned = jnp.round(jnp.clip(aligned, 0, 255))
         x = (aligned - IMAGENET_MEAN) / IMAGENET_STD
         if with_features:
             logits, feats = self.model.apply(
