@@ -350,7 +350,17 @@ class DualFeaturesClipDataset:
             A = np.concatenate(As) if As else np.zeros((0, self.au_dim), np.float32)
             L = np.concatenate(Ls) if Ls else np.zeros((0, self.lmk_dim), np.float32)
 
-        A, L = self._window(A), self._window(L)
+        # ONE shared crop offset keeps AU and landmark streams frame-aligned
+        n = min(A.shape[0], L.shape[0])
+        A, L = A[:n], L[:n]
+        if n > self.T:
+            if self.is_train and self.random_crop:
+                s0 = self.rng.randint(0, n - self.T + 1)
+            else:
+                s0 = 0
+            A, L = A[s0 : s0 + self.T].copy(), L[s0 : s0 + self.T].copy()
+        else:
+            A, L = A.copy(), L.copy()
         if self.is_train:
             A, L = self._augment(A, L)
         A = self._z(A, "au")

@@ -44,9 +44,20 @@ MP68_IDX = [
     317, 14, 87, 178, 88,
 ]
 
-# The 12 LibreFace action units (AU_Detection solver; libreface_adapter.py)
-AU_ORDER = ["au_1", "au_2", "au_4", "au_6", "au_7", "au_10", "au_12", "au_14",
-            "au_15", "au_17", "au_23", "au_24"]
+# The 12 LibreFace action units, as the AU extractor emits them
+# (models/au_resnet.py AU_KEYS / libreface_adapter.py)
+AU_ORDER = ["AU01", "AU02", "AU04", "AU06", "AU07", "AU10", "AU12", "AU14",
+            "AU15", "AU17", "AU23", "AU24"]
+
+
+def infer_au_order(au_dicts) -> List[str]:
+    """Stable AU key order from the data itself (make_au_features.py
+    infer_au_order) — robust to either naming convention."""
+    keys = set()
+    for d in au_dicts:
+        if isinstance(d, dict):
+            keys.update(d.keys())
+    return sorted(keys)
 
 
 def _rotate_to_mouth(points: np.ndarray, ml: np.ndarray, mr: np.ndarray) -> np.ndarray:
@@ -66,7 +77,7 @@ def lmk_frame_to_features(
     """[N≥309, 2] FaceMesh points → 132-d normalized feature vector
     (make_lmk_features.py:152 _frame_to_features)."""
     xy = np.asarray(xy, np.float32)
-    if xy.ndim != 2 or xy.shape[0] < 309 or xy.shape[1] < 2:
+    if xy.ndim != 2 or xy.shape[0] < REQ_MIN_LANDMARKS or xy.shape[1] < 2:
         return None
     xy = xy[:, :2]
     points = xy[KEY_LANDMARKS_IDXS]
@@ -108,7 +119,7 @@ def au_seq_to_features(
     """[T, K] AU activations (or list of dicts) → [T, K·(1+Δ+Δ²)]
     (make_au_features.py:41)."""
     if len(au_seq) and isinstance(au_seq[0], dict):
-        order = order or AU_ORDER
+        order = order or infer_au_order(au_seq) or AU_ORDER
         X = np.stack([au_dict_to_vec(d, order) for d in au_seq])
     else:
         X = np.asarray(au_seq, np.float32)

@@ -137,6 +137,7 @@ class PreprocessPipeline:
         from ..track.byte_tracker import ByteTracker
 
         video_rel = video_rel or os.path.splitext(os.path.basename(video_path))[0]
+        self._fid_buf: Dict[int, List[int]] = {}
         tracker = ByteTracker(**self.track_kwargs)
         img_buf: Dict[int, List[np.ndarray]] = {}
         au_buf: Dict[int, List[Optional[Dict]]] = {}
@@ -218,6 +219,8 @@ class PreprocessPipeline:
             img_buf.setdefault(tid, [])
             au_buf.setdefault(tid, [])
             lm_buf.setdefault(tid, [])
+            fid_buf = self._fid_buf.setdefault(tid, [])
+            fid_buf.append(frame_id)
             lk = last_known.setdefault(tid, {"aus": None, "lm": None})
             if aus_now.get(tid) is not None:
                 lk["aus"] = aus_now[tid]
@@ -234,17 +237,19 @@ class PreprocessPipeline:
                 lm_ok = self.landmarker is None or len(lms) >= self.clip_length
                 if au_ok and lm_ok:
                     idx = counters.setdefault(tid, 0)
+                    fids = self._fid_buf[tid][: self.clip_length]
                     writer.submit(ClipTask(
                         video_rel, tid, idx,
                         np.stack(img_buf[tid][: self.clip_length]),
                         lm_buf[tid][: self.clip_length],
                         au_buf[tid][: self.clip_length],
-                        frame_id - self.clip_length + 1, frame_id,
+                        fids[0], fids[-1],   # true (possibly gapped) frame span
                     ))
                     counters[tid] = idx + 1
                 img_buf[tid] = img_buf[tid][self.clip_step:]
                 au_buf[tid] = au_buf[tid][self.clip_step:]
                 lm_buf[tid] = lm_buf[tid][self.clip_step:]
+                self._fid_buf[tid] = self._fid_buf[tid][self.clip_step:]
 
 
 def already_processed(out_dir: str, video_rel: str) -> bool:

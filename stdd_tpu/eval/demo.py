@@ -108,33 +108,19 @@ def build_clips(
 
 
 def score_clips(scorer, clips, crop_buffer: int = 256, batch: int = 8) -> List[float]:
-    """Batched align+score of demo clips through the fused device scorer."""
-    from ..runtime.engine import _resize_area
+    """Batched align+score of demo clips through the fused device scorer
+    (packing shared with the streaming engine)."""
+    from ..runtime.packing import pack_clip_batch
 
     preds: List[float] = []
+    T = len(clips[0]) if clips else 0
     for bstart in range(0, len(clips), batch):
         group = clips[bstart : bstart + batch]
-        B = len(group)
-        T = len(group[0])
-        S = crop_buffer
-        crops = np.zeros((batch, T, S, S, 3), np.uint8)
-        boxes = np.zeros((batch, T, 4), np.float32)
-        lm5 = np.zeros((batch, T, 5, 2), np.float32)
-        valid = np.zeros((batch,), bool)
-        for bi, entries in enumerate(group):
-            max_dim = max(max(e["crop"].shape[0], e["crop"].shape[1]) for e in entries)
-            s = min(1.0, S / float(max_dim))
-            for tix, e in enumerate(entries):
-                c = e["crop"]
-                if s < 1.0:
-                    c = _resize_area(c, s)
-                h, w = c.shape[:2]
-                crops[bi, tix, :h, :w] = c
-                boxes[bi, tix] = e["big_box"].astype(np.float32) * s
-                lm5[bi, tix] = e["lm5"] * s
-            valid[bi] = True
+        crops, boxes, lm5, valid = pack_clip_batch(
+            group, batch, T, crop_buffer
+        )
         probs = scorer.score(crops, boxes, lm5, valid)
-        preds.extend(float(p) for p in probs[:B])
+        preds.extend(float(p) for p in probs[: len(group)])
     return preds
 
 

@@ -202,7 +202,10 @@ class FTCN(nn.Module):
             (w * 8, w * 16, dim_inner * 4),
             (w * 16, w * 32, dim_inner * 8),
         ]
-        n_stages = max(1, min(4, c.stop_point - 1))
+        # reference truncation: s_i -> Identity for stop_point <= i
+        # (i3d_temporal_var_fix_dropout_tt_cfg.py:315-330); shipped
+        # ftcn_tt.yaml stop_point=5 keeps s2..s4 (1024-ch head)
+        n_stages = max(1, min(4, c.stop_point - 2))
         for si in range(n_stages):
             di, do, dinner = stage_dims[si]
             tks = stage_temp_kernels(

@@ -351,7 +351,9 @@ class I3D(nn.Module):
             ("s4", w * 8, w * 16, dim_inner * 4, c.temp_kernel[3], d4, c.num_block_temp_kernel[2], c.spatial_strides[2]),
             ("s5", w * 16, w * 32, dim_inner * 8, c.temp_kernel[4], d5, c.num_block_temp_kernel[3], c.spatial_strides[3]),
         ]
-        n_stages = min(len(stages), max(1, c.stop_point - 1)) if c.temporal_only else len(stages)
+        # FTCN truncation: stop_point=k removes stages s_k..s5 (reference
+        # i3d_temporal_var_fix_dropout_tt_cfg.py:315-330)
+        n_stages = min(len(stages), max(1, c.stop_point - 2)) if c.temporal_only else len(stages)
         for si, (name, di, do, dinner, basis, blocks, ntemp, stride) in enumerate(stages[:n_stages]):
             x = ResStage(
                 dim_in=di,

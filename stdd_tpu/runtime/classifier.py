@@ -87,13 +87,31 @@ class ClipScorer:
             return pack_warp_params(tfm, diffs)
 
         params = jax.vmap(solve_one)(boxes, lm5)           # [B, T, 8]
-        flat = warp_clip_pallas(
-            crops.reshape((B * T,) + crops.shape[2:]),
-            params.reshape(B * T, 8),
-            out_size=S,
-            band=self.warp_band,
+
+        def pallas_branch(crops, boxes, lm5, params):
+            flat = warp_clip_pallas(
+                crops.reshape((B * T,) + crops.shape[2:]),
+                params.reshape(B * T, 8),
+                out_size=S,
+                band=self.warp_band,
+            )
+            return flat.reshape((B, T, S, S, 3))
+
+        def gather_branch(crops, boxes, lm5, params):
+            def align_one(c, b, l):
+                a, _, _, _ = align_clip(c, b, l, out_size=S, template=self._template)
+                return a
+
+            return jax.vmap(align_one)(crops, boxes, lm5)
+
+        # rotation envelope (warp_pallas.rotation_fits_band, in-graph): the
+        # band covers |m10|·S + ~10 rows of drift; beyond that fall back to
+        # the exact gather for the whole batch
+        drift = jnp.max(jnp.abs(params[..., 3])) * S + 10.0
+        return jax.lax.cond(
+            drift <= self.warp_band, pallas_branch, gather_branch,
+            crops, boxes, lm5, params,
         )
-        return flat.reshape((B, T, S, S, 3))
 
     @classmethod
     def random_init(cls, cfg: Optional[I3DConfig] = None, seed: int = 0, **kw):

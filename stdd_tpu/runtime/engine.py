@@ -118,6 +118,12 @@ class StreamingEngine:
         self.reset()
 
     def reset(self) -> None:
+        # drain queued/in-flight work from the previous stream FIRST so late
+        # arrivals can't leak scores into the new stream
+        if hasattr(self, "_dispatch_q"):
+            self._dispatch_q.join()
+            with self._lock:
+                self.inflight = []
         self.tracker = ByteTracker(**self._track_kwargs)
         self.frame_idx = 0
         self.buffers: Dict[int, Deque[_FrameEntry]] = {}
@@ -151,8 +157,6 @@ class StreamingEngine:
             ]
             for w in self._workers:
                 w.start()
-        else:
-            self._dispatch_q.join()   # drain anything from the previous video
 
     # -- per-frame host path -------------------------------------------------
 
@@ -271,14 +275,13 @@ class StreamingEngine:
         self.flush()
         qa_sides = [s for v in self.qstats.values() for s, _ in v]
         qa_laps = [l for v in self.qstats.values() for _, l in v]
+        qa_min_side = agg_kwargs.pop("qa_min_side", 48)
+        qa_min_lap = agg_kwargs.pop("qa_min_lap", 20.0)
         low_q = False
         if qa_sides:
-            low_q = (float(np.median(qa_sides)) < agg_kwargs.pop("qa_min_side", 48)) or (
-                float(np.median(qa_laps)) < agg_kwargs.pop("qa_min_lap", 20.0)
+            low_q = (float(np.median(qa_sides)) < qa_min_side) or (
+                float(np.median(qa_laps)) < qa_min_lap
             )
-        else:
-            agg_kwargs.pop("qa_min_side", None)
-            agg_kwargs.pop("qa_min_lap", None)
         return aggregate_video(
             dict(self.track_clip_scores),
             threshold=threshold if threshold is not None else self.cfg.threshold,
@@ -335,38 +338,12 @@ class StreamingEngine:
         self.pending = self.pending[self.cfg.batch_clips :]
         if not batch:
             return
-        B = self.cfg.batch_clips
-        T = self.cfg.clip_size
-        S = self.crop_buffer
-        crops = np.zeros((B, T, S, S, 3), np.uint8)
-        boxes = np.zeros((B, T, 4), np.float32)
-        lm5 = np.zeros((B, T, 5, 2), np.float32)
-        valid = np.zeros((B,), bool)
+        from .packing import pack_clip_batch
 
-        for bi, clip in enumerate(batch):
-            entries = clip.entries
-            # pad short clips by repeating the last frame (TEST2.py:358-363)
-            while len(entries) < T:
-                entries = entries + [entries[-1]]
-            # one uniform scale per clip so every crop fits the buffer
-            max_dim = max(max(e.crop.shape[0], e.crop.shape[1]) for e in entries)
-            s = min(1.0, S / float(max_dim))
-            for ti, e in enumerate(entries):
-                c = e.crop
-                if s < 1.0:
-                    from ..native import resize_area_pack
-
-                    if not resize_area_pack(c, crops[bi, ti], s):
-                        c = _resize_area(c, s)
-                        h, w = c.shape[:2]
-                        crops[bi, ti, :h, :w] = c
-                else:
-                    h, w = c.shape[:2]
-                    crops[bi, ti, :h, :w] = c
-                boxes[bi, ti] = e.big_box.astype(np.float32) * s
-                lm5[bi, ti] = e.lm5 * s
-            valid[bi] = True
-
+        crops, boxes, lm5, valid = pack_clip_batch(
+            [c.entries for c in batch], self.cfg.batch_clips,
+            self.cfg.clip_size, self.crop_buffer,
+        )
         self._dispatch_q.put((batch, crops, boxes, lm5, valid, time.perf_counter()))
 
     def _dispatch_worker(self) -> None:

@@ -41,13 +41,10 @@ jax.tree_util.register_pytree_node(
 
 
 def bce_with_logits(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-    """Numerically-stable binary cross entropy on raw logits (the reference's
-    BCEWithLogits loss; slowfast/models/losses.py:15)."""
-    logits = logits.reshape(-1).astype(jnp.float32)
-    labels = labels.reshape(-1).astype(jnp.float32)
-    return jnp.mean(
-        jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-    )
+    """Flattening wrapper over the shared loss (train/losses.py)."""
+    from .losses import bce_with_logits as _bce
+
+    return _bce(logits.reshape(-1), labels.reshape(-1))
 
 
 def make_train_step(

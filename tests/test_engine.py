@@ -196,3 +196,34 @@ def test_detection_filters():
     )
     eng.step(np.zeros((300, 320, 3), np.uint8))
     assert len(eng.tracker.tracked) == 1
+
+
+def test_pack_clip_batch_shared_with_demo():
+    """The engine and the demo path pack through one function; dict and
+    attribute entries produce identical buffers."""
+    import numpy as np
+    from types import SimpleNamespace
+    from stdd_tpu.runtime.packing import pack_clip_batch
+
+    rng = np.random.RandomState(0)
+    crop = rng.randint(0, 255, (40, 48, 3), np.uint8)
+    bb = np.array([2.0, 3.0, 50.0, 43.0], np.float32)
+    lm = rng.rand(5, 2).astype(np.float32) * 30
+
+    as_dict = [[dict(crop=crop, big_box=bb, lm5=lm)] * 4]
+    as_attr = [[SimpleNamespace(crop=crop, big_box=bb, lm5=lm)] * 4]
+    out_d = pack_clip_batch(as_dict, 2, 4, 64)
+    out_a = pack_clip_batch(as_attr, 2, 4, 64)
+    for d, a in zip(out_d, out_a):
+        np.testing.assert_array_equal(d, a)
+    crops, boxes, lm5, valid = out_d
+    assert crops.shape == (2, 4, 64, 64, 3) and valid.tolist() == [True, False]
+    np.testing.assert_allclose(boxes[0, 0], bb)  # no downscale needed at 64
+
+    # short clip pads by repeating the last frame; oversized crop downscales
+    big = rng.randint(0, 255, (128, 100, 3), np.uint8)
+    crops2, boxes2, _, _ = pack_clip_batch(
+        [[dict(crop=big, big_box=bb * 2, lm5=lm)] * 2], 1, 4, 64
+    )
+    np.testing.assert_array_equal(crops2[0, 1], crops2[0, 3])
+    assert abs(boxes2[0, 0, 2] - bb[2] * 2 * (64 / 128)) < 1e-4

@@ -106,3 +106,24 @@ def test_bfloat16_forward_close_to_fp32():
     m16 = I3D(cfg=SMALL, dtype=jnp.bfloat16)
     out16 = m16.apply(variables, x, train=False)
     assert jnp.abs(out32 - out16).max() < 0.2
+
+
+def test_ftcn_stop_point_truncation():
+    """stop_point=k removes stages s_k..s5 (reference
+    i3d_temporal_var_fix_dropout_tt_cfg.py:315-330): the shipped
+    ftcn_tt.yaml stop_point=5 keeps s2..s4 → 1024-ch time tokens."""
+    import jax
+    import numpy as np
+    from stdd_tpu.config import I3DConfig
+    from stdd_tpu.models.ftcn import FTCN
+
+    x = np.zeros((1, 8, 64, 64, 3), np.float32)
+    for stop_point, want_ch in [(5, 1024), (6, 2048), (4, 512)]:
+        cfg = I3DConfig(num_frames=8, crop_size=64, stop_point=stop_point)
+        m = FTCN(cfg=cfg)
+        v = jax.eval_shape(lambda: m.init(jax.random.PRNGKey(0), x, train=False))
+        head = v["params"]["head"]
+        assert head["pos_embedding"].shape[-1] == want_ch, (stop_point, head["pos_embedding"].shape)
+        top_stage = f"s{stop_point - 1}"
+        assert any(k.startswith(top_stage) for k in v["params"]), (stop_point, list(v["params"]))
+        assert not any(k.startswith(f"s{stop_point}") for k in v["params"])

@@ -112,3 +112,48 @@ def test_au_last_known_fill(tmp_path):
         allow_pickle=True,
     )
     assert all(a is not None for a in aus)
+
+
+def test_clip_frame_span_respects_detection_gaps(tmp_path):
+    """ClipTask.frame_start/frame_end reflect the true (gapped) frame ids,
+    not an assumed-contiguous window."""
+    import numpy as np
+    from stdd_tpu.data.preprocess import ClipWriter, PreprocessPipeline
+
+    gap_frames = {3, 4}  # detector returns nothing on these frames
+
+    class FakeCap:
+        def __init__(self, *_a):
+            self.i = 0
+
+        def read(self):
+            if self.i >= 12:
+                return False, None
+            self.i += 1
+            return True, np.full((64, 64, 3), self.i, np.uint8)
+
+        def release(self):
+            pass
+
+    def detect(frame_bgr):
+        fid = int(frame_bgr[0, 0, 0]) - 1
+        if fid in gap_frames:
+            return np.empty((0, 15))
+        return np.array([[8.0, 8.0, 40.0, 40.0] + [20.0] * 10 + [0.9]])
+
+    import cv2
+
+    orig = cv2.VideoCapture
+    cv2.VideoCapture = FakeCap
+    try:
+        pipe = PreprocessPipeline(detect, clip_length=8, clip_step=4)
+        w = ClipWriter(str(tmp_path))
+        spans = []
+        orig_submit = w.submit
+        w.submit = lambda t: (spans.append((t.frame_start, t.frame_end)), orig_submit(t))[1]
+        pipe.process_video("fake.mp4", w, "v")
+        w.close()
+    finally:
+        cv2.VideoCapture = orig
+    # frames with detections: 0,1,2,5,6,7,8,9,10,11 → first clip of 8 spans 0..9
+    assert spans and spans[0] == (0, 9)

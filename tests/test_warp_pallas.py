@@ -99,3 +99,42 @@ def test_scorer_pallas_path_interpret_matches_gather():
 
         clf.warp_clip_pallas = orig
     np.testing.assert_allclose(p_pal, p_ref, atol=5e-3)
+
+
+def test_scorer_rotation_envelope_falls_back_to_gather():
+    """A heavily rotated batch must leave the Pallas band and take the exact
+    gather branch in-graph — outputs then match the gather scorer bitwise."""
+    from stdd_tpu.config import I3DConfig
+    from stdd_tpu.runtime.classifier import ClipScorer
+    import stdd_tpu.ops.warp_pallas as wp
+    import stdd_tpu.runtime.classifier as clf
+    import functools
+
+    cfg = I3DConfig(num_frames=4, crop_size=64)
+    rng = np.random.RandomState(1)
+    crops = rng.randint(0, 255, (2, 4, 96, 96, 3), np.uint8)
+    boxes = np.tile(np.array([5, 5, 90, 90], np.float32), (2, 4, 1))
+    # rotate the landmark constellation 45 deg about its center → the fit
+    # produces a rotation far outside the band-64 envelope
+    base = (np.asarray(STD_POINTS_256) * 0.3 + 10).astype(np.float32)
+    ctr = base.mean(0, keepdims=True)
+    c, s = np.cos(np.pi / 4), np.sin(np.pi / 4)
+    rot = (base - ctr) @ np.array([[c, s], [-s, c]], np.float32) + ctr
+    lm5 = np.tile(rot, (2, 4, 1, 1))
+    valid = np.ones(2, bool)
+
+    s_gather = ClipScorer.random_init(cfg=cfg, dtype=jnp.float32, use_pallas_warp=False)
+    p_ref = s_gather.score(crops, boxes, lm5, valid)
+
+    orig = wp.warp_clip_pallas
+    try:
+        clf.warp_clip_pallas = functools.partial(orig, interpret=True)
+        s_pallas = ClipScorer.random_init(
+            cfg=cfg, dtype=jnp.float32, use_pallas_warp=True, warp_band=32
+        )
+        s_pallas.variables = s_gather.variables
+        p_pal = s_pallas.score(crops, boxes, lm5, valid)
+    finally:
+        clf.warp_clip_pallas = orig
+    # the cond must have selected the gather branch → exact agreement
+    np.testing.assert_allclose(p_pal, p_ref, atol=1e-6)
