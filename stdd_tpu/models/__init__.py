@@ -41,3 +41,51 @@ def _build_ftcn(cfg=None, **kw):
     if not base.temporal_only:
         base = dataclasses.replace(base, temporal_only=True)
     return FTCN(cfg=base, **kw)
+
+@register_model("slowfast")
+def _build_slowfast(cfg=None, **kw):
+    """Dual-pathway SlowFast (reference video_model_builder.py:147)."""
+    from .slowfast import SlowFast
+
+    return SlowFast(cfg=cfg or _I3DConfig(), **kw)
+
+
+@register_model("resunet")
+def _build_resunet(cfg=None, **kw):
+    """3D encoder-decoder mask predictor (reference ResUNet family,
+    video_model_builder.py:1128-2742)."""
+    from .unet3d import ResUNet3D
+
+    return ResUNet3D(cfg=cfg or _I3DConfig(), **kw)
+
+
+@register_model("resunet_light")
+def _build_resunet_light(cfg=None, **kw):
+    """Single-conv-decoder variant (reference ResUNetLight :1349)."""
+    from .unet3d import ResUNet3D
+
+    return ResUNet3D(cfg=cfg or _I3DConfig(), light=True, **kw)
+
+
+@register_model("videoit")
+def _build_videoit(**kw):
+    """Per-patch time transformer (reference time_transformer.py:167)."""
+    from .vit import VideoiT
+
+    return VideoiT(**kw)
+
+
+@register_model("st_transformer")
+def _build_st_transformer(**kw):
+    """Factorized space-time ViT (reference time_transformer.py:281)."""
+    from .vit import SpatialTemporalTransformer
+
+    return SpatialTemporalTransformer(**kw)
+
+
+@register_model("resnet2d")
+def _build_resnet2d(variant: str = "resnet18", **kw):
+    """Legacy 2D frame classifier bases (reference model/classifier/_resnet_base.py)."""
+    from .resnet2d import ResNet2D
+
+    return ResNet2D(variant=variant, **kw)

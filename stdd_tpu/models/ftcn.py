@@ -105,9 +105,29 @@ class FTCNBlock(nn.Module):
         return nn.relu(sc + h)
 
 
+def _interior_indices(h: int, w: int) -> jnp.ndarray:
+    """Spatial indices the random pools may pick (reference ``valid_idx`` at
+    i3d_temporal_var_fix_dropout_tt_cfg.py:97 — note it divides by ``h`` for
+    BOTH coordinates; the quirk is replicated)."""
+    idx = [i for i in range(h * w)
+           if not (i % h == 0 or i // h == h - 1 or i % h == h - 1)]
+    return jnp.asarray(idx, jnp.int32)
+
+
 class TimeTransformerHead(nn.Module):
-    """Spatial avg-pool → time tokens → cls-token ViT → logit
-    (reference TransformerHead + TimeTransformer)."""
+    """Token pool → cls-token ViT → logit (reference TransformerHead at
+    i3d_temporal_var_fix_dropout_tt_cfg.py:126 + time_transformer.py:219).
+
+    ``patch_type`` selects the token pool (reference :131-:147):
+      - ``time``: spatial avg-pool → T tokens (shipped ftcn_tt default)
+      - ``spatial``: temporal avg-pool → H·W tokens
+      - ``random``: one interior spatial site per clip (train w/
+        random_select; eval = center site, RandomPatchPool :74)
+      - ``random_avg``: mean over k random interior sites (train) / all
+        interior sites (eval) (RandomAvgPool :105)
+      - ``all``: every T·H·W position is a token
+    Random draws use the ``patch`` PRNG stream.
+    """
 
     num_patches: int
     dim: int
@@ -117,14 +137,45 @@ class TimeTransformerHead(nn.Module):
     mlp_dim: int = 2048
     dropout: float = 0.1
     num_classes: int = 1
+    patch_type: str = "time"
+    random_select: bool = False
+    k: int = 8
     dtype: Dtype = jnp.float32
+
+    def _pool(self, x, train: bool):
+        # x: [B, T, H, W, C] → tokens [B, N, C]
+        B, T, H, W, C = x.shape
+        if self.patch_type == "time":
+            return jnp.mean(x, axis=(2, 3))
+        if self.patch_type == "spatial":
+            return jnp.mean(x, axis=1).reshape(B, H * W, C)
+        if self.patch_type == "all":
+            return x.reshape(B, T * H * W, C)
+        flat = x.reshape(B, T, H * W, C)
+        interior = _interior_indices(H, W)
+        if self.patch_type == "random":
+            if train and self.random_select:
+                pick = jax.random.choice(self.make_rng("patch"), interior)
+            else:
+                pick = jnp.asarray(H * W // 2, jnp.int32)
+            return flat[:, :, pick, :]
+        if self.patch_type == "random_avg":
+            if train and self.random_select:
+                sites = jax.random.choice(
+                    self.make_rng("patch"), interior, (self.k,), replace=False
+                )
+            else:
+                sites = interior
+            return jnp.mean(flat[:, :, sites, :], axis=2)
+        raise NotImplementedError(self.patch_type)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        # x: [B, T, H, W, C] → time tokens [B, T, C]
-        x = jnp.mean(x.astype(jnp.float32), axis=(2, 3))
+        x = self._pool(x.astype(jnp.float32), train)
         B, N, C = x.shape
         assert N == self.num_patches, (N, self.num_patches)
+        if self.dim != C:   # projection when dim != in_channels (ref :156-158)
+            x = nn.Dense(self.dim, name="proj")(x)
 
         cls = self.param(
             "cls_token", nn.initializers.normal(1.0), (1, 1, self.dim)
@@ -173,6 +224,9 @@ class FTCN(nn.Module):
     """
 
     cfg: I3DConfig
+    patch_type: str = "time"           # head token pool (ref :131-:147)
+    random_select: bool = False
+    patch_k: int = 8
     axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
 
@@ -227,11 +281,23 @@ class FTCN(nn.Module):
                     [(0, 0), (0, 0), (0, 0)],
                 )
 
-        t_tokens = x.shape[1]
+        T_, H_, W_ = x.shape[1], x.shape[2], x.shape[3]
+        token_counts = {
+            "time": T_, "random": T_, "random_avg": T_,
+            "spatial": H_ * W_, "all": T_ * H_ * W_,
+        }
+        if self.patch_type not in token_counts:
+            raise NotImplementedError(
+                f"patch_type={self.patch_type!r}; one of {sorted(token_counts)}"
+            )
+        n_tokens = token_counts[self.patch_type]
         x = TimeTransformerHead(
-            num_patches=t_tokens,
+            num_patches=n_tokens,
             dim=x.shape[-1],
             num_classes=c.num_classes,
+            patch_type=self.patch_type,
+            random_select=self.random_select,
+            k=self.patch_k,
             dtype=self.dtype,
             name="head",
         )(x, train)
