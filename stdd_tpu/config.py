@@ -43,6 +43,7 @@ class I3DConfig:
     # FTCN variant: collapse all spatial 3x3 kernels to 1x1 and use a
     # TimeTransformer head (reference i3d_temporal_var_fix_dropout_tt_cfg.py).
     temporal_only: bool = False
+    s2d_stem: bool = False        # space-to-depth stem (same math, MXU-friendly; see models/i3d.py Conv3dBN)
     stop_point: int = 5           # FTCN truncation: removes s_k..s5 (5 = keep s2..s4, the shipped ftcn_tt.yaml; 6 = keep all)
 
 

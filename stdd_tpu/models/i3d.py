@@ -46,21 +46,66 @@ def _msra_conv_init(key, shape, dtype=jnp.float32):
     return jax.random.normal(key, shape, dtype) * std
 
 
+class _RawKernel(nn.Module):
+    """Bare conv-kernel parameter at the same tree path nn.Conv would use
+    (``<name>/kernel``) so s2d checkpoints stay byte-compatible."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", _msra_conv_init, self.shape)
+
+
 class Conv3dBN(nn.Module):
-    """conv3d (no bias) → BatchNorm, with optional zero-init of the BN scale."""
+    """conv3d (no bias) → BatchNorm, with optional zero-init of the BN scale.
+
+    ``s2d=True`` computes the identical stem conv ([t,7,7] stride [1,2,2]
+    pad 3 on C=3 input) as a space-to-depth conv: input [..,H,W,3] →
+    [..,H/2,W/2,12], kernel zero-padded to [t,8,8,3,F] and re-laid-out to
+    [t,4,4,12,F], stride-1 conv with pad (2,1). Exactly the same math (the
+    MLPerf-ResNet stem trick), but C=12 stride-1 maps onto the MXU far
+    better than C=3 stride-2. Parameters stay in the original [t,7,7,3,F]
+    layout — checkpoints are interchangeable."""
 
     features: int
     kernel: Tuple[int, int, int]
     stride: Tuple[int, int, int] = (1, 1, 1)
     padding: Optional[Sequence[Tuple[int, int]]] = None  # None = SAME-like from kernel
     zero_init_scale: bool = False
+    s2d: bool = False
     bn_eps: float = 1e-5
     bn_momentum: float = 0.1
     axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
 
+    def _s2d_conv(self, x):
+        t = self.kernel[0]
+        assert self.kernel[1:] == (7, 7) and self.stride == (1, 2, 2), (
+            "s2d path is specific to the [t,7,7]/[1,2,2] stem")
+        B, T, H, W, C = x.shape
+        assert H % 2 == 0 and W % 2 == 0
+        F = self.features
+        w = _RawKernel((t, 7, 7, C, F), name="conv")()
+        # out[o] = sum_k w[k]·x(2o-3+k)  ==  sum_{m,p} w'[2m+p]·s2d_p(o-2+m)
+        # with w'[0]=0 (left zero pad), so: pad→[t,8,8,C,F], split ky=2my+py,
+        # kx=2mx+px, fold (py,px,C)→12 input channels
+        w = jnp.pad(w, ((0, 0), (1, 0), (1, 0), (0, 0), (0, 0)))
+        w = w.reshape(t, 4, 2, 4, 2, C, F).transpose(0, 1, 3, 2, 4, 5, 6)
+        w = w.reshape(t, 4, 4, 4 * C, F)
+        xs = x.reshape(B, T, H // 2, 2, W // 2, 2, C)
+        xs = xs.transpose(0, 1, 2, 4, 3, 5, 6).reshape(B, T, H // 2, W // 2, 4 * C)
+        return jax.lax.conv_general_dilated(
+            xs.astype(self.dtype), w.astype(self.dtype),
+            window_strides=(1, 1, 1),
+            padding=[(t // 2, t // 2), (2, 1), (2, 1)],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.s2d:
+            return self._bn(self._s2d_conv(x), train)
         pad = self.padding
         if pad is None:
             pad = [(k // 2, k // 2) for k in self.kernel]
@@ -75,7 +120,10 @@ class Conv3dBN(nn.Module):
             param_dtype=jnp.float32,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
+        return self._bn(x, train)
+
+    def _bn(self, x, train: bool):
+        return nn.BatchNorm(
             use_running_average=not train,
             momentum=1.0 - self.bn_momentum,  # flax decay = 1 - torch momentum
             epsilon=self.bn_eps,
@@ -85,7 +133,6 @@ class Conv3dBN(nn.Module):
             param_dtype=jnp.float32,
             name="bn",
         )(x)
-        return x
 
 
 def max_pool_3d(x, window, strides, padding):
@@ -103,6 +150,7 @@ class VideoStem(nn.Module):
     bn_momentum: float
     axis_name: Optional[str]
     dtype: Dtype
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -112,6 +160,7 @@ class VideoStem(nn.Module):
             kernel=(t, 7, 7),
             stride=(1, 2, 2),
             padding=[(t // 2, t // 2), (3, 3), (3, 3)],
+            s2d=self.s2d,
             bn_eps=self.bn_eps,
             bn_momentum=self.bn_momentum,
             axis_name=self.axis_name,
@@ -341,6 +390,7 @@ class I3D(nn.Module):
             bn_momentum=c.bn_momentum,
             axis_name=self.axis_name,
             dtype=self.dtype,
+            s2d=c.s2d_stem,
             name="s1",
         )(x, train)
 

@@ -43,17 +43,28 @@ class ClipScorer:
         use_pallas_warp: Optional[bool] = None,
         warp_band: int = 64,
         round_aligned_u8: bool = False,
+        s2d_stem: Optional[bool] = None,
     ):
         self.cfg = cfg or I3DConfig()
+        on_accel = jax.devices()[0].platform not in ("cpu",)
         if use_pallas_warp is None:
             # the Mosaic kernel needs a real TPU; CPU tests take the XLA path
-            use_pallas_warp = jax.devices()[0].platform not in ("cpu",)
+            use_pallas_warp = on_accel
         self.use_pallas_warp = use_pallas_warp
         self.warp_band = warp_band
         # cv2.warpAffine on a uint8 canvas rounds to uint8 before the model
         # sees the pixels (faster_crop_align_xray.py:85); enable to reproduce
         # the reference's quantization exactly (costs a little fidelity)
         self.round_aligned_u8 = round_aligned_u8
+        # space-to-depth stem: identical math + identical param tree, ~2x the
+        # whole-model forward on TPU (the C=3 stride-2 stem is MXU-hostile);
+        # requires even H/W and the [t,7,7] stem, so auto-on for accelerators
+        if s2d_stem is None:
+            s2d_stem = on_accel and not self.cfg.temporal_only and self.cfg.crop_size % 2 == 0
+        if s2d_stem and not self.cfg.s2d_stem:
+            import dataclasses
+
+            self.cfg = dataclasses.replace(self.cfg, s2d_stem=True)
         self.model = I3D(cfg=self.cfg, dtype=dtype)
         self.variables = variables
         self.score_index = score_index

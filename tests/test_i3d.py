@@ -127,3 +127,35 @@ def test_ftcn_stop_point_truncation():
         top_stage = f"s{stop_point - 1}"
         assert any(k.startswith(top_stage) for k in v["params"]), (stop_point, list(v["params"]))
         assert not any(k.startswith(f"s{stop_point}") for k in v["params"])
+
+
+def test_s2d_stem_exact_and_checkpoint_compatible():
+    """Space-to-depth stem computes the identical conv (models/i3d.py
+    Conv3dBN._s2d_conv) with an unchanged parameter tree."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+    from stdd_tpu.config import I3DConfig
+    from stdd_tpu.models.i3d import I3D
+
+    cfg = I3DConfig(num_frames=4, crop_size=64, depth=18)
+    m0 = I3D(cfg=cfg)
+    m1 = I3D(cfg=dataclasses.replace(cfg, s2d_stem=True))
+    x = np.random.RandomState(0).rand(2, 4, 64, 64, 3).astype(np.float32)
+    v0 = m0.init(jax.random.PRNGKey(0), x, train=False)
+    y0 = np.asarray(m0.apply(v0, x, train=False))
+    y1 = np.asarray(m1.apply(v0, x, train=False))     # same variables!
+    np.testing.assert_allclose(y1, y0, atol=1e-5)
+
+    # gradient flows through the re-laid-out kernel (training-compatible)
+    def loss(params, mdl):
+        out = mdl.apply({"params": params, "batch_stats": v0["batch_stats"]},
+                        x, train=False)
+        return (out ** 2).sum()
+
+    g0 = jax.grad(loss)(v0["params"], m0)
+    g1 = jax.grad(loss)(v0["params"], m1)
+    k0 = np.asarray(g0["s1"]["pathway0_stem"]["conv"]["kernel"])
+    k1 = np.asarray(g1["s1"]["pathway0_stem"]["conv"]["kernel"])
+    np.testing.assert_allclose(k1, k0, atol=1e-4)
