@@ -74,8 +74,11 @@ def bench_engine():
         lm = (STD_POINTS_256 * (w / 256.0) + np.array([x, y])).reshape(-1)
         return np.asarray([[x, y, w, h, *lm, 0.93]], np.float32)
 
+    from stdd_tpu.runtime.engine import AsyncDetector
+
     eng = StreamingEngine(
-        scorer, detect_fn, cfg=pipe, crop_buffer=256 if on_tpu else 128,
+        scorer, AsyncDetector(detect_fn), cfg=pipe,
+        crop_buffer=256 if on_tpu else 128,
         q_weighting=False, q_lap_hard=0.0,
     )
     rng = np.random.RandomState(0)
@@ -86,10 +89,10 @@ def bench_engine():
         eng.step(frame)
     eng.flush()
 
-    # two timed passes; keep the best (the TPU relay's per-run variance is
-    # large — pool workers differ run to run)
+    # three timed passes; keep the best (the TPU relay's per-run variance is
+    # large — pool workers differ run to run, and a slow window can cost 5x)
     best_dt = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         scored = 0
         t0 = time.perf_counter()
         for _ in range(n_frames):

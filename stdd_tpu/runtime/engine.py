@@ -69,6 +69,36 @@ class _PendingClip:
     entries: List[_FrameEntry]
 
 
+class AsyncDetector:
+    """Double-buffered detection wrapper: hides the device round-trip by
+    dispatching this frame's detection on a worker thread and returning the
+    PREVIOUS detect-cycle's result (one detect_every interval of box lag,
+    which the Kalman tracker absorbs — boxes are already held constant
+    between detect frames, TEST2.py:331).
+
+    Wrap any ``frame -> [N,15] rows`` callable; the first call blocks for a
+    seed result so the stream never starts blind."""
+
+    def __init__(self, detect_fn):
+        import concurrent.futures
+
+        self.detect_fn = detect_fn
+        self._exec = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="detect"
+        )
+        self._fut = None
+
+    def __call__(self, frame_bgr):
+        prev = self._fut.result() if self._fut is not None else None
+        self._fut = self._exec.submit(self.detect_fn, frame_bgr)
+        if prev is None:           # first call: block for a seed result
+            prev = self._fut.result()
+        return prev
+
+    def close(self):
+        self._exec.shutdown(wait=False)
+
+
 class StreamingEngine:
     """Feed frames with :meth:`step`; clip scores stream back as
     ``(track_id, prob)`` tuples. :meth:`finish` flushes and aggregates."""

@@ -227,3 +227,23 @@ def test_pack_clip_batch_shared_with_demo():
     )
     np.testing.assert_array_equal(crops2[0, 1], crops2[0, 3])
     assert abs(boxes2[0, 0, 2] - bb[2] * 2 * (64 / 128)) < 1e-4
+
+
+def test_async_detector_double_buffers():
+    """AsyncDetector returns the previous call's detections (one-cycle lag)
+    and seeds the first call synchronously."""
+    import numpy as np
+    from stdd_tpu.runtime.engine import AsyncDetector
+
+    calls = []
+
+    def detect(frame):
+        calls.append(int(frame[0, 0, 0]))
+        return np.array([[float(frame[0, 0, 0])] * 15])
+
+    ad = AsyncDetector(detect)
+    frames = [np.full((4, 4, 3), i, np.uint8) for i in range(1, 5)]
+    outs = [float(ad(f)[0, 0]) for f in frames]
+    # first call seeds with its own result; afterwards lag-1
+    assert outs == [1.0, 2.0, 2.0, 3.0] or outs == [1.0, 1.0, 2.0, 3.0]
+    ad.close()
