@@ -107,6 +107,50 @@ def build_clips(
     return clips
 
 
+def build_tracks(
+    detect_res: Sequence[Sequence],
+    lm68s: Sequence[Sequence],
+    frames: Sequence[np.ndarray],
+    clip_size: int = 32,
+    crop_scale: float = 0.5,
+):
+    """Like build_clips but keeps track identity: → list of
+    (entries, window_starts); tracks shorter than clip_size get
+    starts=None (caller falls back to the reflect-padded packed path)."""
+    shape = frames[0].shape[:2]
+    merged = []
+    for faces, faces_lm68 in zip(detect_res, lm68s):
+        merged.append(
+            [
+                (np.asarray(box), np.asarray(lm5), np.asarray(lm68), float(score))
+                for (box, lm5, score), lm68 in zip(faces, faces_lm68)
+            ]
+        )
+    tracks = multiple_tracking(merged)
+    tuples = [(0, len(merged))] * len(tracks)
+    if not tracks:
+        tuples, tracks = find_longest(merged)
+
+    out = []
+    for (start, end), track in zip(tuples, tracks):
+        entries = []
+        for face, fi in zip(track, range(start, end)):
+            box, lm5, lm68 = face[0], face[1], face[2]
+            big_box = get_crop_box(shape, box, scale=crop_scale)
+            tl = big_box[:2][None, :]
+            x1, y1, x2, y2 = big_box
+            entries.append(dict(
+                crop=frames[fi][y1:y2, x1:x2], big_box=big_box,
+                lm5=(lm5 - tl).astype(np.float32),
+                lm68=(lm68 - tl).astype(np.float32), frame_idx=fi,
+            ))
+        T = len(entries)
+        starts = list(range(T - clip_size + 1)) if T >= clip_size else None
+        if T:
+            out.append((entries, starts))
+    return out
+
+
 def score_clips(scorer, clips, crop_buffer: int = 256, batch: int = 8) -> List[float]:
     """Batched align+score of demo clips through the fused device scorer
     (packing shared with the streaming engine)."""
@@ -135,6 +179,7 @@ def eval_video(
     crop_buffer: int = 256,
     batch: int = 8,
     threshold: float = 0.04,
+    dense: bool = False,
 ) -> Dict:
     """One video through the demo pipeline; mirrors eval_video_demo_timed's
     outputs (video_score = mean over clip sigmoids, demo.py:339)."""
@@ -144,9 +189,34 @@ def eval_video(
         detect_res, lm68s = detector(frames)
     t_detect = time.perf_counter() - t0
 
-    clips = build_clips(detect_res, lm68s, frames, clip_size, crop_scale)
     t1 = time.perf_counter()
-    preds = score_clips(scorer, clips, crop_buffer, batch) if clips else []
+    if dense:
+        # device-resident track buffers: every frame uploads ONCE; stride-1
+        # windows are on-device slices (ClipScorer.score_dense). Short tracks
+        # (reflect padding) fall back to the packed path.
+        from ..runtime.packing import pack_track
+
+        tracks = build_tracks(detect_res, lm68s, frames, clip_size, crop_scale)
+        preds: List[float] = []
+        n_clips = 0
+        short = []
+        for entries, starts in tracks:
+            if starts is None:
+                short.append(entries)
+                continue
+            fbuf, bbuf, lbuf = pack_track(entries, crop_buffer)
+            preds.extend(float(p) for p in scorer.score_dense(fbuf, bbuf, lbuf, starts, batch=batch))
+            n_clips += len(starts)
+        if short:
+            short_clips = build_clips(detect_res, lm68s, frames, clip_size, crop_scale)
+            # reflect-padded windows are exactly the clips of short tracks
+            short_windows = [c for c in short_clips if len({e["frame_idx"] for e in c}) < clip_size]
+            preds.extend(score_clips(scorer, short_windows, crop_buffer, batch))
+            n_clips += len(short_windows)
+        clips = [None] * n_clips
+    else:
+        clips = build_clips(detect_res, lm68s, frames, clip_size, crop_scale)
+        preds = score_clips(scorer, clips, crop_buffer, batch) if clips else []
     t_aligninfer = time.perf_counter() - t1
 
     video_score = float(np.mean(preds)) if preds else 0.0
@@ -175,6 +245,8 @@ def main(argv=None):
     ap.add_argument("--clip_size", type=int, default=32)
     ap.add_argument("--threshold", type=float, default=0.04)
     ap.add_argument("--cache_dir", default=None, help="detection cache directory")
+    ap.add_argument("--dense", default=None, action="store_true",
+                    help="device-resident track buffers (default: on for accelerators)")
     args = ap.parse_args(argv)
 
     from .harness import collect_videos, iter_video_frames, summarize, write_csvs
@@ -208,9 +280,14 @@ def main(argv=None):
     rows = []
     for vpath, gt, dset, subset in videos:
         frames = [f[:, :, ::-1] for f in iter_video_frames(vpath, args.max_frame)]  # RGB
+        import jax
+
+        dense = args.dense if args.dense is not None else (
+            jax.devices()[0].platform != "cpu"
+        )
         res = eval_video(
             scorer, frames, detector=detector,
-            clip_size=args.clip_size, threshold=args.threshold,
+            clip_size=args.clip_size, threshold=args.threshold, dense=dense,
         )
         res.update(
             video_path=vpath, gt_label=gt, dataset=dset, subset=subset,

@@ -168,6 +168,56 @@ class ClipScorer:
         )
         return np.asarray(out)
 
+    def _score_dense_impl(self, frames, boxes, lm5, starts, valid):
+        """Dense sliding windows over a device-resident track buffer: each
+        frame lands in HBM ONCE and the B windows are dynamic-slice views —
+        the TPU-native replacement for re-uploading every stride-1 window
+        (demo.py:275-302 / TEST2 window schedule). Per-window clip-stable
+        alignment is computed from the sliced boxes/landmarks, so results
+        match the packed path exactly."""
+        T = self.cfg.num_frames
+
+        def window(start):
+            c = jax.lax.dynamic_slice_in_dim(frames, start, T, axis=0)
+            b = jax.lax.dynamic_slice_in_dim(boxes, start, T, axis=0)
+            l = jax.lax.dynamic_slice_in_dim(lm5, start, T, axis=0)
+            return c, b, l
+
+        crops, bxs, lms = jax.vmap(window)(starts)
+        return self._score_impl(crops, bxs, lms, valid)
+
+    def score_dense(self, frames, boxes, lm5, starts, batch: int = 8) -> np.ndarray:
+        """Score every sliding window of one track. ``frames`` [N,S,S,3]
+        uint8 (uniformly pre-scaled crops), ``boxes`` [N,4], ``lm5`` [N,5,2],
+        ``starts`` window start indices (each start+num_frames <= N).
+        → probs [len(starts)]. The track buffer is uploaded once; windows are
+        sliced on device in fixed-size batches (one compiled executable)."""
+        if not hasattr(self, "_score_dense"):
+            self._score_dense = jax.jit(self._score_dense_impl)
+        starts = np.asarray(starts, np.int32)
+        hi = frames.shape[0] - self.cfg.num_frames
+        if starts.size and (starts.min() < 0 or starts.max() > hi):
+            # dynamic_slice would CLAMP silently → wrong window, no error
+            raise ValueError(
+                f"window starts must be in [0, {hi}] for a {frames.shape[0]}-frame "
+                f"track with num_frames={self.cfg.num_frames}; got "
+                f"[{starts.min()}, {starts.max()}]"
+            )
+        frames = jnp.asarray(frames)
+        boxes = jnp.asarray(boxes, jnp.float32)
+        lm5 = jnp.asarray(lm5, jnp.float32)
+        out = np.zeros((len(starts),), np.float32)
+        for i in range(0, len(starts), batch):
+            chunk = starts[i : i + batch]
+            valid = np.zeros((batch,), bool)
+            valid[: len(chunk)] = True
+            padded = np.zeros((batch,), np.int32)
+            padded[: len(chunk)] = chunk
+            probs = self._score_dense(frames, boxes, lm5,
+                                      jnp.asarray(padded), jnp.asarray(valid))
+            out[i : i + len(chunk)] = np.asarray(probs)[: len(chunk)]
+        return out
+
     def score_async(self, crops, boxes, lm5, valid):
         """Dispatch without blocking: returns the device array immediately.
 

@@ -123,3 +123,30 @@ def test_reflect_padding_short_track():
     assert len(clips[0]) == 8
     idxs = [e["frame_idx"] for e in clips[0]]
     assert sorted(set(idxs)) == [0, 1, 2, 3, 4]  # all real frames present
+
+
+def test_dense_track_scoring_matches_packed():
+    """score_dense (device-resident track buffer, on-device window slices)
+    matches the packed per-window path on the reference fixture."""
+    import jax
+
+    from stdd_tpu.config import I3DConfig
+    from stdd_tpu.eval.demo import eval_video, load_reference_cache
+    from stdd_tpu.runtime.classifier import ClipScorer
+
+    det, lm68 = load_reference_cache(FIXTURE)
+    n = 40
+    det, lm68 = det[:n], lm68[:n]
+    rng = np.random.RandomState(0)
+    frames = [rng.randint(0, 255, (360, 640, 3), np.uint8) for _ in range(n)]
+    scorer = ClipScorer.random_init(
+        cfg=I3DConfig(num_frames=32, crop_size=224), dtype=jnp.float32
+    )
+    r_packed = eval_video(scorer, frames, detect_res=det, lm68s=lm68,
+                          clip_size=32, batch=4, crop_buffer=256)
+    r_dense = eval_video(scorer, frames, detect_res=det, lm68s=lm68,
+                         clip_size=32, batch=4, crop_buffer=256, dense=True)
+    assert r_dense["clips"] == r_packed["clips"]
+    np.testing.assert_allclose(
+        sorted(r_dense["preds"]), sorted(r_packed["preds"]), atol=2e-3
+    )
