@@ -39,6 +39,25 @@ def load_reference_cache(path: str):
     return detect_res, lm68s
 
 
+def window_index_lists(T: int, clip_size: int):
+    """Sliding stride-1 windows, or ONE reflect-padded window for short
+    tracks (demo.py:275-302)."""
+    base = list(range(T))
+    if T >= clip_size:
+        return [base[s : s + clip_size] for s in range(T - clip_size + 1)]
+    need = clip_size - T
+    refl = base[1 : T - 1][::-1] if T > 2 else [base[0]] * need
+    l = need // 2
+    r = need - l
+    if refl:
+        left = (refl * ((l + len(refl) - 1) // len(refl) or 1))[:l]
+        right = (refl * ((r + len(refl) - 1) // len(refl) or 1))[:r]
+    else:
+        left = [base[0]] * l
+        right = [base[-1]] * r
+    return [left + base + right]
+
+
 def build_clips(
     detect_res: Sequence[Sequence],
     lm68s: Sequence[Sequence],
@@ -47,63 +66,11 @@ def build_clips(
     crop_scale: float = 0.5,
 ):
     """Tracking + clip assembly (demo.py:224-302). Returns a list of clips,
-    each a dict of stacked crops/boxes/landmarks ready for the scorer."""
-    shape = frames[0].shape[:2]
-    merged = []
-    for faces, faces_lm68 in zip(detect_res, lm68s):
-        merged.append(
-            [
-                (np.asarray(box), np.asarray(lm5), np.asarray(lm68), float(score))
-                for (box, lm5, score), lm68 in zip(faces, faces_lm68)
-            ]
-        )
-
-    tracks = multiple_tracking(merged)
-    tuples = [(0, len(merged))] * len(tracks)
-    if not tracks:
-        tuples, tracks = find_longest(merged)
-
-    storage: Dict[Tuple[int, int], Dict] = {}
-    for ti, ((start, end), track) in enumerate(zip(tuples, tracks)):
-        for j, (face, fi) in enumerate(zip(track, range(start, end))):
-            box, lm5, lm68 = face[0], face[1], face[2]
-            big_box = get_crop_box(shape, box, scale=crop_scale)
-            tl = big_box[:2][None, :]
-            x1, y1, x2, y2 = big_box
-            storage[(ti, j)] = dict(
-                crop=frames[fi][y1:y2, x1:x2],
-                big_box=big_box,
-                lm5=(lm5 - tl).astype(np.float32),
-                lm68=(lm68 - tl).astype(np.float32),
-                frame_idx=fi,
-            )
-
+    each a list of per-frame entry dicts ready for the scorer."""
     clips = []
-    for ti, ((start, end), track) in enumerate(zip(tuples, tracks)):
-        T = len(track)
-        if T == 0:
-            continue
-        base = list(range(T))
-        windows: List[List[int]] = []
-        if T >= clip_size:
-            for s in range(0, T - clip_size + 1):
-                windows.append(base[s : s + clip_size])
-        else:
-            # reflect padding (demo.py:288-302)
-            need = clip_size - T
-            refl = base[1 : T - 1][::-1] if T > 2 else [base[0]] * need
-            l = need // 2
-            r = need - l
-            if refl:
-                left = (refl * ((l + len(refl) - 1) // len(refl) or 1))[:l]
-                right = (refl * ((r + len(refl) - 1) // len(refl) or 1))[:r]
-            else:
-                left = [base[0]] * l
-                right = [base[-1]] * r
-            windows.append(left + base + right)
-        for w in windows:
-            entries = [storage[(ti, j)] for j in w]
-            clips.append(entries)
+    for entries, _ in build_tracks(detect_res, lm68s, frames, clip_size, crop_scale):
+        for w in window_index_lists(len(entries), clip_size):
+            clips.append([entries[j] for j in w])
     return clips
 
 
@@ -193,26 +160,26 @@ def eval_video(
     if dense:
         # device-resident track buffers: every frame uploads ONCE; stride-1
         # windows are on-device slices (ClipScorer.score_dense). Short tracks
-        # (reflect padding) fall back to the packed path.
+        # (reflect padding) go through the packed path on their own windows.
         from ..runtime.packing import pack_track
 
         tracks = build_tracks(detect_res, lm68s, frames, clip_size, crop_scale)
         preds: List[float] = []
         n_clips = 0
-        short = []
         for entries, starts in tracks:
             if starts is None:
-                short.append(entries)
+                short_windows = [
+                    [entries[j] for j in w]
+                    for w in window_index_lists(len(entries), clip_size)
+                ]
+                preds.extend(score_clips(scorer, short_windows, crop_buffer, batch))
+                n_clips += len(short_windows)
                 continue
             fbuf, bbuf, lbuf = pack_track(entries, crop_buffer)
-            preds.extend(float(p) for p in scorer.score_dense(fbuf, bbuf, lbuf, starts, batch=batch))
+            preds.extend(float(p) for p in scorer.score_dense(
+                fbuf, bbuf, lbuf, starts, batch=batch, clip_size=clip_size
+            ))
             n_clips += len(starts)
-        if short:
-            short_clips = build_clips(detect_res, lm68s, frames, clip_size, crop_scale)
-            # reflect-padded windows are exactly the clips of short tracks
-            short_windows = [c for c in short_clips if len({e["frame_idx"] for e in c}) < clip_size]
-            preds.extend(score_clips(scorer, short_windows, crop_buffer, batch))
-            n_clips += len(short_windows)
         clips = [None] * n_clips
     else:
         clips = build_clips(detect_res, lm68s, frames, clip_size, crop_scale)
@@ -276,15 +243,15 @@ def main(argv=None):
             lm68s.append(lms)
         return det_res, lm68s
 
+    import jax
+
+    dense = args.dense if args.dense is not None else (
+        jax.devices()[0].platform != "cpu"
+    )
     videos = collect_videos(args.video_root, args.per_class)
     rows = []
     for vpath, gt, dset, subset in videos:
         frames = [f[:, :, ::-1] for f in iter_video_frames(vpath, args.max_frame)]  # RGB
-        import jax
-
-        dense = args.dense if args.dense is not None else (
-            jax.devices()[0].platform != "cpu"
-        )
         res = eval_video(
             scorer, frames, detector=detector,
             clip_size=args.clip_size, threshold=args.threshold, dense=dense,

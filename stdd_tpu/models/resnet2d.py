@@ -66,14 +66,15 @@ class BasicBlock2d(nn.Module):
 
     features: int
     stride: int = 1
+    zero_init_residual: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         h = nn.relu(ConvBN2d(self.features, 3, self.stride, dtype=self.dtype,
                              name="conv1")(x, train))
-        h = ConvBN2d(self.features, 3, zero_init_scale=True, dtype=self.dtype,
-                     name="conv2")(h, train)
+        h = ConvBN2d(self.features, 3, zero_init_scale=self.zero_init_residual,
+                     dtype=self.dtype, name="conv2")(h, train)
         if self.stride != 1 or x.shape[-1] != self.features:
             x = ConvBN2d(self.features, 1, self.stride, dtype=self.dtype,
                          name="downsample")(x, train)
@@ -88,6 +89,7 @@ class Bottleneck2d(nn.Module):
     stride: int = 1
     groups: int = 1
     width_per_group: int = 64
+    zero_init_residual: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -97,8 +99,8 @@ class Bottleneck2d(nn.Module):
         h = nn.relu(ConvBN2d(width, 1, dtype=self.dtype, name="conv1")(x, train))
         h = nn.relu(ConvBN2d(width, 3, self.stride, groups=self.groups,
                              dtype=self.dtype, name="conv2")(h, train))
-        h = ConvBN2d(out, 1, zero_init_scale=True, dtype=self.dtype,
-                     name="conv3")(h, train)
+        h = ConvBN2d(out, 1, zero_init_scale=self.zero_init_residual,
+                     dtype=self.dtype, name="conv3")(h, train)
         if self.stride != 1 or x.shape[-1] != out:
             x = ConvBN2d(out, 1, self.stride, dtype=self.dtype,
                          name="downsample")(x, train)
@@ -112,7 +114,8 @@ class ResNet2D(nn.Module):
     (reference forward :218)."""
 
     variant: str = "resnet18"
-    num_classes: int = 1
+    num_classes: int = 2              # reference hard-codes Linear(512*exp, 2) (:160)
+    zero_init_residual: bool = False  # reference default (:128)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -131,10 +134,13 @@ class ResNet2D(nn.Module):
             for bi in range(n_blocks):
                 stride = 2 if (li > 0 and bi == 0) else 1
                 if block == "basic":
-                    x = BasicBlock2d(planes, stride, dtype=self.dtype,
+                    x = BasicBlock2d(planes, stride,
+                                     zero_init_residual=self.zero_init_residual,
+                                     dtype=self.dtype,
                                      name=f"layer{li + 1}_{bi}")(x, train)
                 else:
                     x = Bottleneck2d(planes, stride, groups, wpg,
+                                     zero_init_residual=self.zero_init_residual,
                                      dtype=self.dtype,
                                      name=f"layer{li + 1}_{bi}")(x, train)
 

@@ -74,11 +74,16 @@ def extract_patches(x: jnp.ndarray, p: int) -> jnp.ndarray:
 
 
 def interior_patch_indices(n: int) -> jnp.ndarray:
-    """Interior patch ids for RandomSelect (reference valid_idx quirk:
-    both coordinates divide by h, time_transformer.py:129)."""
+    """Interior patch ids for RandomSelect (reference valid_idx at
+    time_transformer.py:134: a ``pad = h // 7``-wide border is excluded,
+    with the quirk that both coordinates divide by h — NOT the 1-wide
+    variant in i3d_temporal_var_fix_dropout_tt_cfg.py:97, which the FTCN
+    head replicates separately in models/ftcn.py). For grids smaller than
+    7x7, pad = 0 and every patch is valid."""
     h = int(n ** 0.5)
+    pad = h // 7
     idx = [i for i in range(n)
-           if not (i % h == 0 or i // h == h - 1 or i % h == h - 1)]
+           if not (i % h < pad or i // h >= h - pad or i % h >= h - pad)]
     return jnp.asarray(idx, jnp.int32)
 
 

@@ -168,56 +168,6 @@ class ClipScorer:
         )
         return np.asarray(out)
 
-    def _score_dense_impl(self, frames, boxes, lm5, starts, valid):
-        """Dense sliding windows over a device-resident track buffer: each
-        frame lands in HBM ONCE and the B windows are dynamic-slice views —
-        the TPU-native replacement for re-uploading every stride-1 window
-        (demo.py:275-302 / TEST2 window schedule). Per-window clip-stable
-        alignment is computed from the sliced boxes/landmarks, so results
-        match the packed path exactly."""
-        T = self.cfg.num_frames
-
-        def window(start):
-            c = jax.lax.dynamic_slice_in_dim(frames, start, T, axis=0)
-            b = jax.lax.dynamic_slice_in_dim(boxes, start, T, axis=0)
-            l = jax.lax.dynamic_slice_in_dim(lm5, start, T, axis=0)
-            return c, b, l
-
-        crops, bxs, lms = jax.vmap(window)(starts)
-        return self._score_impl(crops, bxs, lms, valid)
-
-    def score_dense(self, frames, boxes, lm5, starts, batch: int = 8) -> np.ndarray:
-        """Score every sliding window of one track. ``frames`` [N,S,S,3]
-        uint8 (uniformly pre-scaled crops), ``boxes`` [N,4], ``lm5`` [N,5,2],
-        ``starts`` window start indices (each start+num_frames <= N).
-        → probs [len(starts)]. The track buffer is uploaded once; windows are
-        sliced on device in fixed-size batches (one compiled executable)."""
-        if not hasattr(self, "_score_dense"):
-            self._score_dense = jax.jit(self._score_dense_impl)
-        starts = np.asarray(starts, np.int32)
-        hi = frames.shape[0] - self.cfg.num_frames
-        if starts.size and (starts.min() < 0 or starts.max() > hi):
-            # dynamic_slice would CLAMP silently → wrong window, no error
-            raise ValueError(
-                f"window starts must be in [0, {hi}] for a {frames.shape[0]}-frame "
-                f"track with num_frames={self.cfg.num_frames}; got "
-                f"[{starts.min()}, {starts.max()}]"
-            )
-        frames = jnp.asarray(frames)
-        boxes = jnp.asarray(boxes, jnp.float32)
-        lm5 = jnp.asarray(lm5, jnp.float32)
-        out = np.zeros((len(starts),), np.float32)
-        for i in range(0, len(starts), batch):
-            chunk = starts[i : i + batch]
-            valid = np.zeros((batch,), bool)
-            valid[: len(chunk)] = True
-            padded = np.zeros((batch,), np.int32)
-            padded[: len(chunk)] = chunk
-            probs = self._score_dense(frames, boxes, lm5,
-                                      jnp.asarray(padded), jnp.asarray(valid))
-            out[i : i + len(chunk)] = np.asarray(probs)[: len(chunk)]
-        return out
-
     def score_async(self, crops, boxes, lm5, valid):
         """Dispatch without blocking: returns the device array immediately.
 
@@ -229,6 +179,72 @@ class ClipScorer:
         return self._score(
             jnp.asarray(crops), jnp.asarray(boxes), jnp.asarray(lm5), jnp.asarray(valid)
         )
+
+    def _make_dense_fn(self, T: int):
+        """Jitted dense-window scorer for a given window length (cached per
+        T; the track-buffer length is bucketed by the caller so the XLA
+        executable count stays bounded)."""
+
+        def impl(frames, boxes, lm5, starts, valid):
+            # Dense sliding windows over a device-resident track buffer:
+            # each frame lands in HBM ONCE and the B windows are
+            # dynamic-slice views — the TPU-native replacement for
+            # re-uploading every stride-1 window (demo.py:275-302 / TEST2
+            # window schedule). Per-window clip-stable alignment is computed
+            # from the sliced boxes/landmarks, so results match the packed
+            # path exactly.
+            def window(start):
+                c = jax.lax.dynamic_slice_in_dim(frames, start, T, axis=0)
+                b = jax.lax.dynamic_slice_in_dim(boxes, start, T, axis=0)
+                l = jax.lax.dynamic_slice_in_dim(lm5, start, T, axis=0)
+                return c, b, l
+
+            crops, bxs, lms = jax.vmap(window)(starts)
+            return self._score_impl(crops, bxs, lms, valid)
+
+        return jax.jit(impl)
+
+    def score_dense(self, frames, boxes, lm5, starts, batch: int = 8,
+                    clip_size: Optional[int] = None) -> np.ndarray:
+        """Score every sliding window of one track. ``frames`` [N,S,S,3]
+        uint8 (uniformly pre-scaled crops), ``boxes`` [N,4], ``lm5`` [N,5,2],
+        ``starts`` window start indices (each start+clip_size <= N).
+        → probs [len(starts)]. The track buffer is uploaded once; windows are
+        sliced on device in fixed-size batches. To bound recompiles across
+        varying track lengths, N is padded up to the next multiple of 64
+        (executables are keyed on (clip_size, bucketed N, batch))."""
+        T = clip_size or self.cfg.num_frames
+        starts = np.asarray(starts, np.int32)
+        hi = frames.shape[0] - T
+        if starts.size and (starts.min() < 0 or starts.max() > hi):
+            # dynamic_slice would CLAMP silently → wrong window, no error
+            raise ValueError(
+                f"window starts must be in [0, {hi}] for a {frames.shape[0]}-frame "
+                f"track with clip_size={T}; got [{starts.min()}, {starts.max()}]"
+            )
+        n = frames.shape[0]
+        n_bucket = max(T, -(-n // 64) * 64)
+        if n_bucket != n:
+            pad = n_bucket - n
+            frames = np.concatenate([frames, np.zeros((pad,) + frames.shape[1:], frames.dtype)])
+            boxes = np.concatenate([boxes, np.ones((pad, 4), np.float32)])
+            lm5 = np.concatenate([lm5, np.ones((pad, 5, 2), np.float32)])
+        if not hasattr(self, "_dense_fns"):
+            self._dense_fns = {}
+        fn = self._dense_fns.setdefault(T, self._make_dense_fn(T))
+        frames = jnp.asarray(frames)
+        boxes = jnp.asarray(boxes, jnp.float32)
+        lm5 = jnp.asarray(lm5, jnp.float32)
+        out = np.zeros((len(starts),), np.float32)
+        for i in range(0, len(starts), batch):
+            chunk = starts[i : i + batch]
+            valid = np.zeros((batch,), bool)
+            valid[: len(chunk)] = True
+            padded = np.zeros((batch,), np.int32)
+            padded[: len(chunk)] = chunk
+            probs = fn(frames, boxes, lm5, jnp.asarray(padded), jnp.asarray(valid))
+            out[i : i + len(chunk)] = np.asarray(probs)[: len(chunk)]
+        return out
 
     def score_with_features(self, crops, boxes, lm5, valid):
         """(probs [B], logits [B, C], penultimate feats [B, 2048]) — the

@@ -391,6 +391,12 @@ class StreamingEngine:
                 dev = self.scorer.score_async(crops, boxes, lm5, valid)
                 with self._lock:
                     self.inflight.append((batch, dev, t0))
+            except Exception:
+                # a dead worker would deadlock every later _dispatch_q.join();
+                # surface the error but keep the thread alive
+                import traceback
+
+                traceback.print_exc()
             finally:
                 self._dispatch_q.task_done()
 

@@ -10,6 +10,30 @@ from typing import Dict, List, Sequence, Tuple
 import numpy as np
 
 
+def _get(e, k):
+    return e[k] if isinstance(e, dict) else getattr(e, k)
+
+
+def _pack_entry(e, dst_slot: np.ndarray, s: float) -> Tuple[np.ndarray, np.ndarray]:
+    """Write one entry's crop into a zero-padded S×S slot at uniform scale
+    ``s`` (native C++ area-resize fast path); → (scaled box, scaled lm5)."""
+    c = _get(e, "crop")
+    if s < 1.0:
+        from ..native import resize_area_pack
+
+        if not resize_area_pack(c, dst_slot, s):
+            from .engine import _resize_area
+
+            c2 = _resize_area(c, s)
+            h, w = c2.shape[:2]
+            dst_slot[:h, :w] = c2
+    else:
+        h, w = c.shape[:2]
+        dst_slot[:h, :w] = c
+    return (np.asarray(_get(e, "big_box"), np.float32) * s,
+            np.asarray(_get(e, "lm5"), np.float32) * s)
+
+
 def pack_clip_batch(
     clips: Sequence[Sequence],       # per clip: items with .crop/.big_box/.lm5
                                       # attributes OR dicts with those keys
@@ -25,33 +49,16 @@ def pack_clip_batch(
     lm5 = np.zeros((batch_capacity, T, 5, 2), np.float32)
     valid = np.zeros((batch_capacity,), bool)
 
-    def get(e, k):
-        return e[k] if isinstance(e, dict) else getattr(e, k)
-
     for bi, entries in enumerate(clips[:batch_capacity]):
         entries = list(entries)
         while len(entries) < T:
             entries = entries + [entries[-1]]
         max_dim = max(
-            max(get(e, "crop").shape[0], get(e, "crop").shape[1]) for e in entries
+            max(_get(e, "crop").shape[0], _get(e, "crop").shape[1]) for e in entries
         )
         s = min(1.0, S / float(max_dim))
         for ti, e in enumerate(entries[:T]):
-            c = get(e, "crop")
-            if s < 1.0:
-                from ..native import resize_area_pack
-
-                if not resize_area_pack(c, crops[bi, ti], s):
-                    from .engine import _resize_area
-
-                    c2 = _resize_area(c, s)
-                    h, w = c2.shape[:2]
-                    crops[bi, ti, :h, :w] = c2
-            else:
-                h, w = c.shape[:2]
-                crops[bi, ti, :h, :w] = c
-            boxes[bi, ti] = np.asarray(get(e, "big_box"), np.float32) * s
-            lm5[bi, ti] = np.asarray(get(e, "lm5"), np.float32) * s
+            boxes[bi, ti], lm5[bi, ti] = _pack_entry(e, crops[bi, ti], s)
         valid[bi] = True
     return crops, boxes, lm5, valid
 
@@ -65,29 +72,12 @@ def pack_track(
     scale for the whole track — feed to ``ClipScorer.score_dense`` so each
     frame is uploaded once and windows become on-device slices."""
 
-    def get(e, k):
-        return e[k] if isinstance(e, dict) else getattr(e, k)
-
     N = len(entries)
     frames = np.zeros((N, S, S, 3), np.uint8)
     boxes = np.zeros((N, 4), np.float32)
     lm5 = np.zeros((N, 5, 2), np.float32)
-    max_dim = max(max(get(e, "crop").shape[0], get(e, "crop").shape[1]) for e in entries)
+    max_dim = max(max(_get(e, "crop").shape[0], _get(e, "crop").shape[1]) for e in entries)
     s = min(1.0, S / float(max_dim))
     for i, e in enumerate(entries):
-        c = get(e, "crop")
-        if s < 1.0:
-            from ..native import resize_area_pack
-
-            if not resize_area_pack(c, frames[i], s):
-                from .engine import _resize_area
-
-                c2 = _resize_area(c, s)
-                h, w = c2.shape[:2]
-                frames[i, :h, :w] = c2
-        else:
-            h, w = c.shape[:2]
-            frames[i, :h, :w] = c
-        boxes[i] = np.asarray(get(e, "big_box"), np.float32) * s
-        lm5[i] = np.asarray(get(e, "lm5"), np.float32) * s
+        boxes[i], lm5[i] = _pack_entry(e, frames[i], s)
     return frames, boxes, lm5

@@ -150,3 +150,31 @@ def test_dense_track_scoring_matches_packed():
     np.testing.assert_allclose(
         sorted(r_dense["preds"]), sorted(r_packed["preds"]), atol=2e-3
     )
+
+
+def test_dense_respects_clip_size():
+    """Dense path slices clip_size-frame windows (not scorer num_frames) —
+    non-default --clip_size matches the packed path (review regression)."""
+    import jax
+
+    from stdd_tpu.config import I3DConfig
+    from stdd_tpu.eval.demo import eval_video
+    from stdd_tpu.ops.align import STD_POINTS_256
+    from stdd_tpu.runtime.classifier import ClipScorer
+
+    rng = np.random.RandomState(0)
+    n = 20
+    det = [[(np.array([10.0, 10.0, 80.0, 80.0]),
+             np.asarray(STD_POINTS_256) * 0.25 + 20, 0.9)] for _ in range(n)]
+    lm68 = [[np.tile(np.array([40.0, 40.0]), (68, 1))] for _ in range(n)]
+    frames = [rng.randint(0, 255, (120, 160, 3), np.uint8) for _ in range(n)]
+    scorer = ClipScorer.random_init(
+        cfg=I3DConfig(num_frames=8, crop_size=64), dtype=jnp.float32
+    )
+    for clip_size in (8, 12):   # == and != scorer num_frames
+        r_p = eval_video(scorer, frames, detect_res=det, lm68s=lm68,
+                         clip_size=clip_size, batch=2, crop_buffer=96)
+        r_d = eval_video(scorer, frames, detect_res=det, lm68s=lm68,
+                         clip_size=clip_size, batch=2, crop_buffer=96, dense=True)
+        assert r_d["clips"] == r_p["clips"] == n - clip_size + 1
+        np.testing.assert_allclose(r_d["preds"], r_p["preds"], atol=2e-3)

@@ -94,7 +94,7 @@ def test_resnet2d_variants_and_freeze():
     m = build_model("resnet2d", variant="resnet18")
     v = m.init(jax.random.PRNGKey(0), x, train=False)
     y = m.apply(v, x, train=False)
-    assert y.shape == (2, 1)
+    assert y.shape == (2, 2)   # reference fc hard-codes 2 outputs (:160)
 
     # freeze_backbone stops gradients everywhere except the fc
     def loss(params, freeze):
