@@ -296,6 +296,11 @@ def collect_logits(
 def make_schedule(args: DualTrainArgs, steps_per_epoch: int):
     total = max(1, args.epochs * steps_per_epoch)
     if args.scheduler == "onecycle":
+        # optax's onecycle needs each phase >= 1 step; with fewer total steps
+        # its internal interval division yields NaN LR for EVERY step (which
+        # then NaNs the params silently) — fall back to a constant LR
+        if int(total * args.onecycle_pct_start) < 1 or total < 4:
+            return args.lr
         return optax.cosine_onecycle_schedule(
             transition_steps=total,
             peak_value=args.lr,

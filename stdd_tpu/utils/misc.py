@@ -8,6 +8,7 @@ from __future__ import annotations
 import os
 import random
 import shutil
+import contextlib
 import threading
 import time
 from typing import Any, Callable, Dict, List, Optional, Sequence
@@ -45,6 +46,23 @@ def device_mem_stats() -> Dict[str, float]:
         }
     except Exception:
         return {}
+
+
+@contextlib.contextmanager
+def profiler_trace(log_dir: str):
+    """``jax.profiler`` trace scope — the deep-dive companion to the
+    wall-clock stage timers (SURVEY §5: replaces the reference's ad-hoc
+    CUDA-peak/psutil profiling for kernel-level analysis; inspect with
+    TensorBoard or xprof).
+
+    >>> with profiler_trace("/tmp/trace"):
+    ...     probs = scorer.score(crops, boxes, lm5, valid)
+    """
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
 
 
 def skip_shard_split(items: Sequence, rank: int, world: int) -> List:

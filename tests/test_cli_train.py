@@ -1,0 +1,79 @@
+"""Training-CLI smoke tests: run_i3d (AltFreezing + FTCN) and run_dual end
+to end on tiny synthetic clip trees (one epoch, CPU)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def _make_i3d_tree(root, n_videos=4, clips_per_track=2, T=8, size=64):
+    rng = np.random.RandomState(0)
+    for vi in range(n_videos):
+        cls = "original" if vi % 2 == 0 else "deepfakes"
+        for ci in range(clips_per_track):
+            d = os.path.join(root, cls, f"v{vi}", "track_1", f"clip_{ci:05d}")
+            os.makedirs(d, exist_ok=True)
+            np.save(os.path.join(d, "images.npy"),
+                    rng.randint(0, 255, (T, size, size, 3), np.uint8))
+
+
+def test_run_i3d_cli_one_epoch(tmp_path):
+    from stdd_tpu.train.run_i3d import main
+
+    data = tmp_path / "clips"
+    _make_i3d_tree(str(data))
+    out = tmp_path / "run"
+    main([
+        "--data", str(data), "--out", str(out), "--clip_size", "8",
+        "--crop_size", "64", "--batch", "2", "--epochs", "1",
+        "--warmup_epochs", "0", "--val_ratio", "0.25",
+    ])
+    files = os.listdir(out)
+    assert any(f.startswith("i3d_") for f in files), files
+
+
+def test_run_i3d_cli_ftcn(tmp_path):
+    from stdd_tpu.train.run_i3d import main
+
+    data = tmp_path / "clips"
+    _make_i3d_tree(str(data))
+    out = tmp_path / "run_ftcn"
+    main([
+        "--data", str(data), "--out", str(out), "--clip_size", "8",
+        "--crop_size", "64", "--batch", "2", "--epochs", "1",
+        "--warmup_epochs", "0", "--val_ratio", "0.25", "--ftcn",
+    ])
+    assert any(f.startswith("i3d_") for f in os.listdir(out))
+
+
+def _make_dual_tree(root, n_videos=10, clips=3, T=8):
+    rng = np.random.RandomState(0)
+    for vi in range(n_videos):
+        cls = "original" if vi % 2 == 0 else "deepfakes"
+        for ci in range(clips):
+            d = os.path.join(root, cls, f"v{vi}", "track_1", f"clip_{ci:05d}")
+            os.makedirs(d, exist_ok=True)
+            base = 1.0 if cls == "deepfakes" else 0.0
+            np.save(os.path.join(d, "au_features.npy"),
+                    (rng.randn(T, 36) + base).astype(np.float32))
+            np.save(os.path.join(d, "lmk_features.npy"),
+                    (rng.randn(T, 132) + base).astype(np.float32))
+
+
+def test_run_dual_cli_one_epoch(tmp_path):
+    from stdd_tpu.train.run_dual import main
+
+    data = tmp_path / "feats"
+    _make_dual_tree(str(data))
+    out = tmp_path / "run_dual"
+    main([
+        "--data", str(data), "--out", str(out), "--T", "8",
+        "--d_model", "32", "--layers", "1", "--heads", "2",
+        "--epochs", "1", "--batch", "4", "--epoch_samples", "8",
+        "--patience", "2",
+    ])
+    files = os.listdir(out)
+    assert "best.msgpack" in files or any("best" in f for f in files), files
+    assert "args.json" in files, files
