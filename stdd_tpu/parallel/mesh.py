@@ -47,3 +47,33 @@ def shard_batch(batch, mesh: Mesh, data_axis: str = "data"):
     """Place a host batch onto the mesh, sharded along axis 0."""
     s = data_sharding(mesh, data_axis)
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+def make_sharded_score_fn(scorer, mesh: Mesh, data_axis: str = "data"):
+    """Data-parallel inference serving: jit the fused align+score program
+    over a mesh with the clip batch sharded on the data axis and the model
+    replicated — the TPU-native equivalent of serving the reference's
+    classifier behind a DDP/NCCL replica pool (model/_base.py:110), with XLA
+    placing the collectives (there are none in pure DP inference: each chip
+    scores its shard of clips).
+
+    → ``score(crops, boxes, lm5, valid) -> probs [B]`` where B must be a
+    multiple of the data-axis size.
+    """
+    batch_s = data_sharding(mesh, data_axis)
+    rep = replicated(mesh)
+    scorer.variables = jax.device_put(scorer.variables, rep)
+
+    fn = jax.jit(
+        scorer._score_impl,
+        in_shardings=(batch_s, batch_s, batch_s, batch_s),
+        out_shardings=batch_s,
+    )
+
+    def score(crops, boxes, lm5, valid):
+        n_data = mesh.shape[data_axis]
+        assert crops.shape[0] % n_data == 0, (
+            f"batch {crops.shape[0]} not divisible by data axis {n_data}")
+        return np.asarray(fn(crops, boxes, lm5, np.asarray(valid)))
+
+    return score

@@ -87,3 +87,37 @@ def test_sharded_batch_equals_single_device_loss():
         jax.device_put(jnp.asarray(L), data), jax.device_put(jnp.asarray(y), data),
     ))
     assert multi == pytest.approx(single, rel=1e-5)
+
+
+def test_sharded_inference_matches_single_device():
+    """make_sharded_score_fn over the 8-device CPU mesh reproduces the
+    single-device scorer bit-for-bit (pure DP inference, params replicated)."""
+    import numpy as np
+
+    from stdd_tpu.config import I3DConfig
+    from stdd_tpu.ops.align import STD_POINTS_256
+    from stdd_tpu.parallel.mesh import make_mesh, make_sharded_score_fn
+    from stdd_tpu.runtime.classifier import ClipScorer
+
+    rng = np.random.RandomState(0)
+    B = 8
+    crops = rng.randint(0, 255, (B, 4, 96, 96, 3), np.uint8)
+    boxes = np.tile(np.array([5, 5, 90, 90], np.float32), (B, 4, 1))
+    lm5 = np.tile((np.asarray(STD_POINTS_256) * 0.3 + 10).astype(np.float32), (B, 4, 1, 1))
+    valid = np.ones(B, bool)
+
+    scorer = ClipScorer.random_init(cfg=I3DConfig(num_frames=4, crop_size=64),
+                                    dtype=jnp.float32)
+    p_single = scorer.score(crops, boxes, lm5, valid)
+
+    mesh = make_mesh(data=8)
+    score8 = make_sharded_score_fn(scorer, mesh)
+    p_sharded = score8(crops, boxes, lm5, valid)
+    np.testing.assert_allclose(p_sharded, p_single, atol=1e-6)
+
+    # batch not divisible by the data axis → loud error
+    try:
+        score8(crops[:6], boxes[:6], lm5[:6], valid[:6])
+        assert False, "expected divisibility assert"
+    except AssertionError as e:
+        assert "divisible" in str(e) or "batch" in str(e)
