@@ -166,20 +166,22 @@ def eval_video(
         tracks = build_tracks(detect_res, lm68s, frames, clip_size, crop_scale)
         preds: List[float] = []
         n_clips = 0
+        short_windows: List[List[Dict]] = []
         for entries, starts in tracks:
             if starts is None:
-                short_windows = [
+                short_windows.extend(
                     [entries[j] for j in w]
                     for w in window_index_lists(len(entries), clip_size)
-                ]
-                preds.extend(score_clips(scorer, short_windows, crop_buffer, batch))
-                n_clips += len(short_windows)
+                )
                 continue
             fbuf, bbuf, lbuf = pack_track(entries, crop_buffer)
             preds.extend(float(p) for p in scorer.score_dense(
                 fbuf, bbuf, lbuf, starts, batch=batch, clip_size=clip_size
             ))
             n_clips += len(starts)
+        if short_windows:   # all short tracks share full batches
+            preds.extend(score_clips(scorer, short_windows, crop_buffer, batch))
+            n_clips += len(short_windows)
         clips = [None] * n_clips
     else:
         clips = build_clips(detect_res, lm68s, frames, clip_size, crop_scale)

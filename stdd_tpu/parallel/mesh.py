@@ -50,30 +50,39 @@ def shard_batch(batch, mesh: Mesh, data_axis: str = "data"):
 
 
 def make_sharded_score_fn(scorer, mesh: Mesh, data_axis: str = "data"):
-    """Data-parallel inference serving: jit the fused align+score program
-    over a mesh with the clip batch sharded on the data axis and the model
-    replicated — the TPU-native equivalent of serving the reference's
-    classifier behind a DDP/NCCL replica pool (model/_base.py:110), with XLA
-    placing the collectives (there are none in pure DP inference: each chip
-    scores its shard of clips).
+    """Data-parallel inference serving: each device runs the FULL fused
+    align+score program on its shard of the clip batch via ``shard_map`` —
+    the TPU-native equivalent of serving the reference's classifier behind a
+    DDP/NCCL replica pool (model/_base.py:110).
+
+    ``shard_map`` (not plain GSPMD jit) because the align path contains a
+    Pallas/Mosaic kernel, which XLA cannot auto-partition; per-shard local
+    execution sidesteps partitioning entirely (pure DP inference has no
+    cross-device collectives). Weights are passed per call, so loading a new
+    checkpoint into ``scorer`` takes effect immediately, and the scorer
+    object is not mutated.
 
     → ``score(crops, boxes, lm5, valid) -> probs [B]`` where B must be a
     multiple of the data-axis size.
     """
-    batch_s = data_sharding(mesh, data_axis)
-    rep = replicated(mesh)
-    scorer.variables = jax.device_put(scorer.variables, rep)
+    from jax.experimental.shard_map import shard_map
 
-    fn = jax.jit(
-        scorer._score_impl,
-        in_shardings=(batch_s, batch_s, batch_s, batch_s),
-        out_shardings=batch_s,
-    )
+    spec_b = P(data_axis)
+
+    def local(variables, crops, boxes, lm5, valid):
+        return scorer._score_impl(crops, boxes, lm5, valid, variables=variables)
+
+    fn = jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), spec_b, spec_b, spec_b, spec_b),
+        out_specs=spec_b,
+        check_rep=False,
+    ))
 
     def score(crops, boxes, lm5, valid):
         n_data = mesh.shape[data_axis]
         assert crops.shape[0] % n_data == 0, (
             f"batch {crops.shape[0]} not divisible by data axis {n_data}")
-        return np.asarray(fn(crops, boxes, lm5, np.asarray(valid)))
+        return np.asarray(fn(scorer.variables, crops, boxes, lm5, np.asarray(valid)))
 
     return score

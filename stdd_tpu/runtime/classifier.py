@@ -142,7 +142,8 @@ class ClipScorer:
         variables = jax.tree.map(jnp.asarray, variables)
         return cls(variables, cfg=cfg, **kw)
 
-    def _score_impl(self, crops, boxes, lm5, valid, with_features: bool = False):
+    def _score_impl(self, crops, boxes, lm5, valid, with_features: bool = False,
+                    variables=None):
         S = self.cfg.crop_size
         aligned = self._align_batch(
             crops, boxes.astype(jnp.float32), lm5.astype(jnp.float32)
@@ -150,12 +151,13 @@ class ClipScorer:
         if self.round_aligned_u8:
             aligned = jnp.round(jnp.clip(aligned, 0, 255))
         x = (aligned - IMAGENET_MEAN) / IMAGENET_STD
+        variables = self.variables if variables is None else variables
         if with_features:
             logits, feats = self.model.apply(
-                self.variables, x, train=False, return_features=True
+                variables, x, train=False, return_features=True
             )
         else:
-            logits = self.model.apply(self.variables, x, train=False)
+            logits = self.model.apply(variables, x, train=False)
         probs = jax.nn.sigmoid(logits[:, self.score_index].astype(jnp.float32))
         probs = jnp.where(valid, probs, 0.0)
         if with_features:

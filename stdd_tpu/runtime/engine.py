@@ -170,6 +170,7 @@ class StreamingEngine:
         self.id_switches = 0
         self._prev_boxes: Optional[np.ndarray] = None
         self._prev_ids: Optional[List[int]] = None
+        self._worker_error: Optional[BaseException] = None
         # in-flight async device batches: (clips_meta, device_probs, t_dispatch)
         self.inflight: List[Tuple[List[_PendingClip], Any, float]] = []
         # background dispatch worker: the host→device upload of a packed clip
@@ -391,12 +392,14 @@ class StreamingEngine:
                 dev = self.scorer.score_async(crops, boxes, lm5, valid)
                 with self._lock:
                     self.inflight.append((batch, dev, t0))
-            except Exception:
+            except Exception as exc:
                 # a dead worker would deadlock every later _dispatch_q.join();
-                # surface the error but keep the thread alive
+                # keep the thread alive, drop the batch, and surface the
+                # error to the engine's caller at the next step()/finish()
                 import traceback
 
                 traceback.print_exc()
+                self._worker_error = exc
             finally:
                 self._dispatch_q.task_done()
 
@@ -405,6 +408,12 @@ class StreamingEngine:
         whose results are already materialized are taken (plus forced takes
         when the pipeline depth exceeds 2, to bound memory)."""
         import time
+
+        if self._worker_error is not None:
+            exc, self._worker_error = self._worker_error, None
+            raise RuntimeError(
+                "scoring worker failed; the batch was dropped"
+            ) from exc
 
         if block:
             self._dispatch_q.join()   # wait for uploads to reach the device

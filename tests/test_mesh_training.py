@@ -121,3 +121,33 @@ def test_sharded_inference_matches_single_device():
         assert False, "expected divisibility assert"
     except AssertionError as e:
         assert "divisible" in str(e) or "batch" in str(e)
+
+
+def test_sharded_serving_sees_checkpoint_swaps():
+    """make_sharded_score_fn passes weights per call: loading new variables
+    into the scorer takes effect without rebuilding the serve fn, and the
+    scorer object is not mutated (review regression)."""
+    import numpy as np
+
+    from stdd_tpu.config import I3DConfig
+    from stdd_tpu.ops.align import STD_POINTS_256
+    from stdd_tpu.parallel.mesh import make_mesh, make_sharded_score_fn
+    from stdd_tpu.runtime.classifier import ClipScorer
+
+    rng = np.random.RandomState(0)
+    crops = rng.randint(0, 255, (8, 4, 96, 96, 3), np.uint8)
+    boxes = np.tile(np.array([5, 5, 90, 90], np.float32), (8, 4, 1))
+    lm5 = np.tile((np.asarray(STD_POINTS_256) * 0.3 + 10).astype(np.float32), (8, 4, 1, 1))
+    valid = np.ones(8, bool)
+
+    scorer = ClipScorer.random_init(cfg=I3DConfig(num_frames=4, crop_size=64),
+                                    dtype=jnp.float32)
+    before = scorer.variables
+    serve = make_sharded_score_fn(scorer, make_mesh(data=8))
+    p1 = serve(crops, boxes, lm5, valid)
+    assert scorer.variables is before          # no in-place mutation
+
+    scorer.variables = jax.tree.map(lambda x: x * 0, scorer.variables)
+    p0 = serve(crops, boxes, lm5, valid)
+    np.testing.assert_allclose(p0, 0.5, atol=1e-6)   # sigmoid(0) everywhere
+    assert float(np.abs(p1 - 0.5).max()) > 1e-4      # p1 used the real weights
