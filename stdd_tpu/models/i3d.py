@@ -140,6 +140,116 @@ def max_pool_3d(x, window, strides, padding):
     return nn.max_pool(x, window_shape=window, strides=strides, padding=padding)
 
 
+class _BNStats(nn.Module):
+    """Bare BatchNorm parameters/statistics at nn.BatchNorm's tree paths
+    (``<name>/{scale,bias}`` in params, ``<name>/{mean,var}`` in batch_stats)
+    so checkpoints are interchangeable with the plain-BN stem path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.variable(
+            "batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32), (self.features,)
+        )
+        var = self.variable(
+            "batch_stats", "var", lambda s: jnp.ones(s, jnp.float32), (self.features,)
+        )
+        return scale, bias, mean.value, var.value
+
+
+class _StemParams(nn.Module):
+    """Stem conv kernel + BN stats, tree-compatible with Conv3dBN."""
+
+    kernel_shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        w = _RawKernel(self.kernel_shape, name="conv")()
+        return (w,) + tuple(_BNStats(self.kernel_shape[-1], name="bn")())
+
+
+def _t2_cell_range(tk: int) -> Tuple[int, int]:
+    """Temporal cell offsets touched by a tk-tap stride-1 conv when output
+    frames are packed in pairs: out[2p+ot] reads in[2p+ot-tk//2 .. 2p+ot+tk//2]."""
+    lo = (0 - (tk // 2)) // 2  # floor division handles negatives
+    hi = (1 + (tk // 2)) // 2
+    return lo, hi
+
+
+def pack_stem_kernel_t2(w, scale, bias, mean, var, eps):
+    """Fold eval-BN into the stem kernel and re-lay it out for the
+    space-to-depth × temporal-pair packed convolution.
+
+    ``w`` [tk,7,7,C,F] → packed ``[M,4,4,8C,2F]`` (M temporal cell taps;
+    input channels = (tpos 2, spos 2x2, C); output channels = (ot 2, F)),
+    plus the folded bias ``[2F]``. Math: identical to conv → BN(eval) with
+    the running statistics — BN is a per-channel affine at eval time, so it
+    folds exactly (in float32) into the kernel and a bias term.
+    """
+    tk, _, _, C, F = w.shape
+    inv = scale.astype(jnp.float32) * jax.lax.rsqrt(var.astype(jnp.float32) + eps)
+    wf = w.astype(jnp.float32) * inv  # broadcast over trailing F
+    bf = bias.astype(jnp.float32) - mean.astype(jnp.float32) * inv
+    # spatial 2x2 space-to-depth (as Conv3dBN._s2d_conv): pad 7→8, fold (p,c)
+    wf = jnp.pad(wf, ((0, 0), (1, 0), (1, 0), (0, 0), (0, 0)))
+    wf = wf.reshape(tk, 4, 2, 4, 2, C, F).transpose(0, 1, 3, 2, 4, 5, 6)
+    wf = wf.reshape(tk, 4, 4, 4 * C, F)
+    # temporal pair packing: (ot, kt) → cell offset m, in-cell position q
+    m_lo, m_hi = _t2_cell_range(tk)
+    M = m_hi - m_lo + 1
+    wk = jnp.zeros((M, 4, 4, 2, 4 * C, 2, F), jnp.float32)
+    for ot in range(2):
+        for kt in range(tk):
+            r = ot - tk // 2 + kt
+            m, q = divmod(r, 2)  # python floor semantics for negative r
+            wk = wk.at[m - m_lo, :, :, q, :, ot, :].add(wf[kt])
+    return wk.reshape(M, 4, 4, 8 * C, 2 * F), jnp.tile(bf, 2)
+
+
+def stem_forward_t2(x, w_packed, bias2f, tk: int, dtype=jnp.float32):
+    """Packed stem: s2d2 + T-pair packing → shifted 2D convs (full 128-lane
+    MXU output tiling) → bias → ReLU → maxpool in packed space → unpack.
+
+    Exactly the stem conv [tk,7,7]/[1,2,2] + BN(eval) + ReLU +
+    maxpool [1,3,3]/[1,2,2]; measured ~1.5× the conv3d s2d stem on TPU v5e
+    (the 64-feature stem wastes half the MXU output lanes; packing two
+    output frames into channels fills them at only a 6/5 FLOP overhead).
+    """
+    B, T, H, W, C = x.shape
+    assert T % 2 == 0 and H % 2 == 0 and W % 2 == 0
+    M, _, _, _, F2 = w_packed.shape
+    F = F2 // 2
+    # space-to-depth 2x2
+    xs = x.reshape(B, T, H // 2, 2, W // 2, 2, C)
+    xs = xs.transpose(0, 1, 2, 4, 3, 5, 6).reshape(B, T, H // 2, W // 2, 4 * C)
+    # temporal pair pack: channel = (q, 4C)
+    Tc = T // 2
+    xs = xs.reshape(B, Tc, 2, H // 2, W // 2, 4 * C).transpose(0, 1, 3, 4, 2, 5)
+    xs = xs.reshape(B, Tc, H // 2, W // 2, 8 * C).astype(dtype)
+    m_lo, m_hi = _t2_cell_range(tk)
+    xm = jnp.pad(xs, ((0, 0), (-m_lo, m_hi), (0, 0), (0, 0), (0, 0)))
+    wp = w_packed.astype(dtype)
+    out = None
+    for m in range(M):
+        xsl = xm[:, m : m + Tc].reshape(B * Tc, H // 2, W // 2, 8 * C)
+        y = jax.lax.conv_general_dilated(
+            xsl, wp[m], (1, 1), [(2, 1), (2, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        out = y if out is None else out + y
+    y = out.reshape(B, Tc, H // 2, W // 2, F2) + bias2f.astype(dtype)
+    y = nn.relu(y)
+    # maxpool [1,3,3]/[1,2,2]: spatial-only, so packed (ot, f) channels pool
+    # independently — exact
+    y = nn.max_pool(y, (1, 3, 3), (1, 2, 2), [(0, 0), (1, 1), (1, 1)])
+    Hp, Wp = y.shape[2], y.shape[3]
+    y = y.reshape(B, Tc, Hp, Wp, 2, F).transpose(0, 1, 4, 2, 3, 5)
+    return y.reshape(B, T, Hp, Wp, F)
+
+
 class VideoStem(nn.Module):
     """s1: conv [t,7,7] stride [1,2,2] → BN → ReLU → maxpool [1,3,3]/[1,2,2]
     (reference stem_helper.py:156-171)."""
@@ -151,10 +261,21 @@ class VideoStem(nn.Module):
     axis_name: Optional[str]
     dtype: Dtype
     s2d: bool = False
+    t2: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         t = self.temp_kernel
+        if self.t2 and not train and x.shape[1] % 2 == 0:
+            # eval-only fully-packed stem: BN folds into the kernel (exact at
+            # eval — BN is a per-channel affine of the running stats), conv
+            # runs with 128 output lanes, pool runs in packed space. Same
+            # parameter tree as the Conv3dBN path (checkpoints interchange).
+            w, scale, bias, mean, var = _StemParams(
+                (t, 7, 7, x.shape[-1], self.features), name="pathway0_stem"
+            )()
+            wp, b2 = pack_stem_kernel_t2(w, scale, bias, mean, var, self.bn_eps)
+            return stem_forward_t2(x, wp, b2, t, dtype=self.dtype)
         x = Conv3dBN(
             features=self.features,
             kernel=(t, 7, 7),
@@ -391,6 +512,7 @@ class I3D(nn.Module):
             axis_name=self.axis_name,
             dtype=self.dtype,
             s2d=c.s2d_stem,
+            t2=c.stem_t2,
             name="s1",
         )(x, train)
 

@@ -65,18 +65,16 @@ def make_sharded_score_fn(scorer, mesh: Mesh, data_axis: str = "data"):
     → ``score(crops, boxes, lm5, valid) -> probs [B]`` where B must be a
     multiple of the data-axis size.
     """
-    from jax.experimental.shard_map import shard_map
-
     spec_b = P(data_axis)
 
     def local(variables, crops, boxes, lm5, valid):
         return scorer._score_impl(crops, boxes, lm5, valid, variables=variables)
 
-    fn = jax.jit(shard_map(
+    fn = jax.jit(jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(), spec_b, spec_b, spec_b, spec_b),
         out_specs=spec_b,
-        check_rep=False,
+        check_vma=False,
     ))
 
     def score(crops, boxes, lm5, valid):

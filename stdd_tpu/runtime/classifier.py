@@ -65,6 +65,12 @@ class ClipScorer:
             import dataclasses
 
             self.cfg = dataclasses.replace(self.cfg, s2d_stem=True)
+        # temporal-pair packed stem (eval-only, folded BN — exact math,
+        # ~1.5x the s2d stem on TPU); the scorer always runs train=False
+        if self.cfg.s2d_stem and not self.cfg.stem_t2 and self.cfg.num_frames % 2 == 0:
+            import dataclasses
+
+            self.cfg = dataclasses.replace(self.cfg, stem_t2=True)
         self.model = I3D(cfg=self.cfg, dtype=dtype)
         self.variables = variables
         self.score_index = score_index

@@ -159,3 +159,75 @@ def test_s2d_stem_exact_and_checkpoint_compatible():
     k0 = np.asarray(g0["s1"]["pathway0_stem"]["conv"]["kernel"])
     k1 = np.asarray(g1["s1"]["pathway0_stem"]["conv"]["kernel"])
     np.testing.assert_allclose(k1, k0, atol=1e-4)
+
+
+def test_stem_t2_exact_and_checkpoint_compatible():
+    """Temporal-pair packed stem (eval-only, BN folded into the kernel)
+    computes the identical stem (models/i3d.py stem_forward_t2) with an
+    unchanged parameter tree, including non-trivial BN statistics."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+    from stdd_tpu.config import I3DConfig
+    from stdd_tpu.models.i3d import I3D
+
+    cfg = I3DConfig(num_frames=4, crop_size=64, depth=18)
+    m0 = I3D(cfg=cfg)
+    m2 = I3D(cfg=dataclasses.replace(cfg, s2d_stem=True, stem_t2=True))
+    rng = np.random.RandomState(1)
+    x = rng.rand(2, 4, 64, 64, 3).astype(np.float32)
+    v0 = m0.init(jax.random.PRNGKey(0), x, train=False)
+    # non-trivial stem BN stats + affine so the fold is actually exercised
+    bn = v0["batch_stats"]["s1"]["pathway0_stem"]["bn"]
+    pbn = v0["params"]["s1"]["pathway0_stem"]["bn"]
+    import jax.numpy as jnp
+
+    F = bn["mean"].shape[0]
+    v0["batch_stats"]["s1"]["pathway0_stem"]["bn"] = {
+        "mean": jnp.asarray(rng.randn(F), jnp.float32) * 0.3,
+        "var": jnp.asarray(rng.rand(F) + 0.5, jnp.float32),
+    }
+    v0["params"]["s1"]["pathway0_stem"]["bn"] = {
+        "scale": jnp.asarray(rng.randn(F), jnp.float32),  # incl. negatives
+        "bias": jnp.asarray(rng.randn(F), jnp.float32) * 0.1,
+    }
+    y0 = np.asarray(m0.apply(v0, x, train=False))
+    y2 = np.asarray(m2.apply(v0, x, train=False))     # same variables!
+    np.testing.assert_allclose(y2, y0, atol=2e-5)
+
+    # init through the t2 branch produces the identical tree (so either
+    # branch can create or consume a checkpoint)
+    v2 = m2.init(jax.random.PRNGKey(0), x, train=False)
+    tree0 = jax.tree_util.tree_structure(v0)
+    tree2 = jax.tree_util.tree_structure(v2)
+    assert tree0 == tree2
+    for (p0, a0), (p2, a2) in zip(
+        jax.tree_util.tree_leaves_with_path(v0), jax.tree_util.tree_leaves_with_path(v2)
+    ):
+        assert a0.shape == a2.shape, (p0, a0.shape, a2.shape)
+
+    # train path with t2 requested falls back to the plain stem (t2 is
+    # eval-only) and still trains: batch_stats update
+    _, mut = m2.apply(v2, x, train=True, mutable=["batch_stats"],
+                      rngs={"dropout": jax.random.PRNGKey(1)})
+    assert "s1" in mut["batch_stats"]
+
+
+def test_stem_t2_odd_T_falls_back():
+    """Odd clip length can't pair-pack; the plain s2d path must serve."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+    from stdd_tpu.config import I3DConfig
+    from stdd_tpu.models.i3d import I3D
+
+    cfg = I3DConfig(num_frames=5, crop_size=64, depth=18)
+    m0 = I3D(cfg=cfg)
+    m2 = I3D(cfg=dataclasses.replace(cfg, s2d_stem=True, stem_t2=True))
+    x = np.random.RandomState(2).rand(1, 5, 64, 64, 3).astype(np.float32)
+    v0 = m0.init(jax.random.PRNGKey(0), x, train=False)
+    y0 = np.asarray(m0.apply(v0, x, train=False))
+    y2 = np.asarray(m2.apply(v0, x, train=False))
+    np.testing.assert_allclose(y2, y0, atol=1e-5)
