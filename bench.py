@@ -39,10 +39,13 @@ def bench_engine():
     on_tpu = jax.devices()[0].platform != "cpu"
     if on_tpu:
         # the reference's realtime operating point: clip 32, stride 30,
-        # detect_every 4 (BASELINE.md / app_realtime.py:153)
-        pipe = PipelineConfig(clip_size=32, stride=30, detect_every=4, batch_clips=8,
+        # detect_every 4 (BASELINE.md / app_realtime.py:153). Serving config:
+        # I420 upload (codec frames are 4:2:0 anyway — halves the H2D bytes,
+        # the bottleneck through the relay) and small eager batches so
+        # uploads pipeline behind the frame loop instead of draining at once.
+        pipe = PipelineConfig(clip_size=32, stride=30, detect_every=4, batch_clips=2,
                               min_face_side=10)
-        scorer = ClipScorer.random_init()  # full I3D-R50 bf16
+        scorer = ClipScorer.random_init(upload_format="yuv420")  # full I3D-R50 bf16
         frame_hw = (1080, 1920)
         n_frames, warmup_frames = 240, 70
     else:
@@ -80,6 +83,7 @@ def bench_engine():
         scorer, AsyncDetector(detect_fn), cfg=pipe,
         crop_buffer=256 if on_tpu else 128,
         q_weighting=False, q_lap_hard=0.0,
+        max_batch_wait_frames=pipe.stride if on_tpu else None,
     )
     rng = np.random.RandomState(0)
     frame = rng.randint(0, 255, frame_hw + (3,), np.uint8)

@@ -23,6 +23,24 @@ from ..ops.align import align_clip, similarity_cv2, std_points
 from ..ops.warp_pallas import pack_warp_params, warp_clip_pallas
 
 
+def yuv420_to_rgb(planar):
+    """I420 planar frames → float32 RGB, matching cv2's BT.601 video-range
+    decode (COLOR_YUV2RGB_I420) with its nearest-neighbor chroma upsample,
+    but without the final uint8 rounding. ``planar`` [..., S*3//2, S] uint8
+    → [..., S, S, 3] float32 in 0..255."""
+    S = planar.shape[-1]
+    y = planar[..., :S, :].astype(jnp.float32)
+    u = planar[..., S : S + S // 4, :].reshape(planar.shape[:-2] + (S // 2, S // 2))
+    v = planar[..., S + S // 4 :, :].reshape(planar.shape[:-2] + (S // 2, S // 2))
+    u = jnp.repeat(jnp.repeat(u.astype(jnp.float32), 2, -2), 2, -1) - 128.0
+    v = jnp.repeat(jnp.repeat(v.astype(jnp.float32), 2, -2), 2, -1) - 128.0
+    yl = 1.164 * (y - 16.0)
+    r = yl + 1.596 * v
+    g = yl - 0.391 * u - 0.813 * v
+    b = yl + 2.018 * u
+    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
+
+
 class ClipScorer:
     """Batched scorer over per-track clip buffers.
 
@@ -44,6 +62,7 @@ class ClipScorer:
         warp_band: int = 64,
         round_aligned_u8: bool = False,
         s2d_stem: Optional[bool] = None,
+        upload_format: str = "rgb",
     ):
         self.cfg = cfg or I3DConfig()
         on_accel = jax.devices()[0].platform not in ("cpu",)
@@ -71,6 +90,13 @@ class ClipScorer:
             import dataclasses
 
             self.cfg = dataclasses.replace(self.cfg, stem_t2=True)
+        # "yuv420": score() takes planar I420 crops [B,T,S*3//2,S] (packed by
+        # pack_clip_batch(yuv420=True)) — half the host→device bytes, which
+        # is the streaming bottleneck on bandwidth-constrained links. The
+        # codec already delivered 4:2:0 frames, so nothing real is lost.
+        if upload_format not in ("rgb", "yuv420"):
+            raise ValueError(f"upload_format must be 'rgb' or 'yuv420', got {upload_format!r}")
+        self.upload_format = upload_format
         self.model = I3D(cfg=self.cfg, dtype=dtype)
         self.variables = variables
         self.score_index = score_index
@@ -151,6 +177,8 @@ class ClipScorer:
     def _score_impl(self, crops, boxes, lm5, valid, with_features: bool = False,
                     variables=None):
         S = self.cfg.crop_size
+        if self.upload_format == "yuv420":
+            crops = yuv420_to_rgb(crops)
         aligned = self._align_batch(
             crops, boxes.astype(jnp.float32), lm5.astype(jnp.float32)
         )  # [B, T, S, S, 3] float32 (0..255)

@@ -388,6 +388,7 @@ class StreamingEngine:
                 crops, boxes, lm5, valid = pack_clip_batch(
                     [c.entries for c in batch], self.cfg.batch_clips,
                     self.cfg.clip_size, self.crop_buffer,
+                    yuv420=getattr(self.scorer, "upload_format", "rgb") == "yuv420",
                 )
                 dev = self.scorer.score_async(crops, boxes, lm5, valid)
                 with self._lock:

@@ -40,14 +40,26 @@ def pack_clip_batch(
     batch_capacity: int,
     T: int,
     S: int,
+    yuv420: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """→ (crops [B,T,S,S,3] u8, boxes [B,T,4] f32, lm5 [B,T,5,2] f32,
     valid [B] bool); short clips are padded by repeating the last frame
-    (TEST2.py:358-363)."""
-    crops = np.zeros((batch_capacity, T, S, S, 3), np.uint8)
+    (TEST2.py:358-363).
+
+    ``yuv420=True`` packs each frame as a planar I420 image
+    ``[B,T,S*3//2,S]`` instead — half the host→device bytes. Video-call
+    frames arrive 4:2:0-subsampled from the codec anyway, so this loses
+    nothing the transport hadn't already dropped; the scorer reconstructs
+    RGB on device (``ClipScorer(upload_format="yuv420")``)."""
+    if yuv420 and S % 4:
+        raise ValueError("yuv420 packing needs S divisible by 4")
+    crops = np.zeros(
+        (batch_capacity, T) + ((S * 3 // 2, S) if yuv420 else (S, S, 3)), np.uint8
+    )
     boxes = np.zeros((batch_capacity, T, 4), np.float32)
     lm5 = np.zeros((batch_capacity, T, 5, 2), np.float32)
     valid = np.zeros((batch_capacity,), bool)
+    rgb_slot = np.zeros((S, S, 3), np.uint8) if yuv420 else None
 
     for bi, entries in enumerate(clips[:batch_capacity]):
         entries = list(entries)
@@ -58,7 +70,14 @@ def pack_clip_batch(
         )
         s = min(1.0, S / float(max_dim))
         for ti, e in enumerate(entries[:T]):
-            boxes[bi, ti], lm5[bi, ti] = _pack_entry(e, crops[bi, ti], s)
+            if yuv420:
+                import cv2
+
+                rgb_slot[:] = 0
+                boxes[bi, ti], lm5[bi, ti] = _pack_entry(e, rgb_slot, s)
+                crops[bi, ti] = cv2.cvtColor(rgb_slot, cv2.COLOR_RGB2YUV_I420)
+            else:
+                boxes[bi, ti], lm5[bi, ti] = _pack_entry(e, crops[bi, ti], s)
         valid[bi] = True
     return crops, boxes, lm5, valid
 
