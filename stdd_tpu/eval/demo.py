@@ -128,7 +128,8 @@ def score_clips(scorer, clips, crop_buffer: int = 256, batch: int = 8) -> List[f
     for bstart in range(0, len(clips), batch):
         group = clips[bstart : bstart + batch]
         crops, boxes, lm5, valid = pack_clip_batch(
-            group, batch, T, crop_buffer
+            group, batch, T, crop_buffer,
+            yuv420=getattr(scorer, "upload_format", "rgb") == "yuv420",
         )
         probs = scorer.score(crops, boxes, lm5, valid)
         preds.extend(float(p) for p in probs[: len(group)])
@@ -174,7 +175,10 @@ def eval_video(
                     for w in window_index_lists(len(entries), clip_size)
                 )
                 continue
-            fbuf, bbuf, lbuf = pack_track(entries, crop_buffer)
+            fbuf, bbuf, lbuf = pack_track(
+                entries, crop_buffer,
+                yuv420=getattr(scorer, "upload_format", "rgb") == "yuv420",
+            )
             preds.extend(float(p) for p in scorer.score_dense(
                 fbuf, bbuf, lbuf, starts, batch=batch, clip_size=clip_size
             ))
@@ -216,14 +220,19 @@ def main(argv=None):
     ap.add_argument("--cache_dir", default=None, help="detection cache directory")
     ap.add_argument("--dense", default=None, action="store_true",
                     help="device-resident track buffers (default: on for accelerators)")
+    ap.add_argument("--upload_format", default="rgb", choices=["rgb", "yuv420"],
+                    help="crop upload format; yuv420 halves host->device bytes "
+                         "(bandwidth-constrained links; frames are codec-4:2:0 anyway)")
     args = ap.parse_args(argv)
 
     from .harness import collect_videos, iter_video_frames, summarize, write_csvs
     from ..models.yunet import YuNetTPU
     from ..runtime.classifier import ClipScorer
 
+    kw = dict(upload_format=args.upload_format)
     scorer = (
-        ClipScorer.from_torch_checkpoint(args.ckpt) if args.ckpt else ClipScorer.random_init()
+        ClipScorer.from_torch_checkpoint(args.ckpt, **kw) if args.ckpt
+        else ClipScorer.random_init(**kw)
     )
     yunet = YuNetTPU(conf_threshold=0.5)
 

@@ -85,18 +85,31 @@ def pack_clip_batch(
 def pack_track(
     entries: Sequence,        # per-frame items with .crop/.big_box/.lm5 (or dicts)
     S: int,
+    yuv420: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Pack ONE track's full frame sequence into a device-ready buffer
     (→ frames [N,S,S,3] u8, boxes [N,4], lm5 [N,5,2]) with a single uniform
     scale for the whole track — feed to ``ClipScorer.score_dense`` so each
-    frame is uploaded once and windows become on-device slices."""
+    frame is uploaded once and windows become on-device slices.
+    ``yuv420=True`` emits planar I420 frames [N,S*3//2,S] (half the upload
+    bytes; pair with ``ClipScorer(upload_format="yuv420")``)."""
 
+    if yuv420 and S % 4:
+        raise ValueError("yuv420 packing needs S divisible by 4")
     N = len(entries)
-    frames = np.zeros((N, S, S, 3), np.uint8)
+    frames = np.zeros((N,) + ((S * 3 // 2, S) if yuv420 else (S, S, 3)), np.uint8)
     boxes = np.zeros((N, 4), np.float32)
     lm5 = np.zeros((N, 5, 2), np.float32)
     max_dim = max(max(_get(e, "crop").shape[0], _get(e, "crop").shape[1]) for e in entries)
     s = min(1.0, S / float(max_dim))
+    rgb_slot = np.zeros((S, S, 3), np.uint8) if yuv420 else None
     for i, e in enumerate(entries):
-        boxes[i], lm5[i] = _pack_entry(e, frames[i], s)
+        if yuv420:
+            import cv2
+
+            rgb_slot[:] = 0
+            boxes[i], lm5[i] = _pack_entry(e, rgb_slot, s)
+            frames[i] = cv2.cvtColor(rgb_slot, cv2.COLOR_RGB2YUV_I420)
+        else:
+            boxes[i], lm5[i] = _pack_entry(e, frames[i], s)
     return frames, boxes, lm5

@@ -112,6 +112,27 @@ def test_engine_with_yuv420_scorer_scores_clips():
         assert 0.0 <= p <= 1.0
 
 
+def test_score_dense_yuv420_matches_rgb_closely():
+    """Offline dense-window path: planar track buffer, windows sliced on
+    device, decode inside the scorer — probs track the rgb path."""
+    from stdd_tpu.runtime.packing import pack_track
+
+    cfg = I3DConfig(num_frames=4, crop_size=64, depth=18)
+    sc_rgb = ClipScorer.random_init(cfg=cfg, dtype=jnp.float32)
+    sc_yuv = ClipScorer(
+        sc_rgb.variables, cfg=cfg, dtype=jnp.float32, upload_format="yuv420"
+    )
+    entries = _fake_clip_entries(10, size=90)
+    starts = np.arange(0, 6, dtype=np.int32)
+    f_r, b_r, l_r = pack_track(entries, 96)
+    f_y, b_y, l_y = pack_track(entries, 96, yuv420=True)
+    assert f_y.shape == (10, 144, 96)
+    np.testing.assert_array_equal(b_r, b_y)
+    p_r = sc_rgb.score_dense(f_r, b_r, l_r, starts, batch=4, clip_size=4)
+    p_y = sc_yuv.score_dense(f_y, b_y, l_y, starts, batch=4, clip_size=4)
+    np.testing.assert_allclose(p_y, p_r, atol=0.02)
+
+
 def test_scorer_rejects_unknown_upload_format():
     cfg = I3DConfig(num_frames=4, crop_size=64, depth=18)
     with pytest.raises(ValueError):
