@@ -69,8 +69,13 @@ def main(argv=None):
         if split["val"] else None
     log.info(f"train windows={len(train_ds)} val={len(val_ds) if val_ds else 0}")
 
+    # space-to-depth stem on accelerators: exact same math and parameter
+    # tree, measured 1.24x the full train step on TPU (150 -> 121 ms at
+    # B=8x32x224 bf16; the C=3 stride-2 stem conv is MXU-hostile)
+    s2d = (jax.devices()[0].platform not in ("cpu",)
+           and not args.ftcn and args.crop_size % 2 == 0)
     cfg = I3DConfig(num_frames=args.clip_size, crop_size=args.crop_size,
-                    temporal_only=args.ftcn)
+                    temporal_only=args.ftcn, s2d_stem=s2d)
     model_cls = FTCN if args.ftcn else I3D
     model = model_cls(cfg=cfg, dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
 
