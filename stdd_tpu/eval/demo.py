@@ -121,7 +121,7 @@ def build_tracks(
 def score_clips(scorer, clips, crop_buffer: int = 256, batch: int = 8) -> List[float]:
     """Batched align+score of demo clips through the fused device scorer
     (packing shared with the streaming engine)."""
-    from ..runtime.packing import pack_clip_batch
+    from ..runtime.packing import pack_clip_batch, upload_format_of
 
     preds: List[float] = []
     T = len(clips[0]) if clips else 0
@@ -129,7 +129,7 @@ def score_clips(scorer, clips, crop_buffer: int = 256, batch: int = 8) -> List[f
         group = clips[bstart : bstart + batch]
         crops, boxes, lm5, valid = pack_clip_batch(
             group, batch, T, crop_buffer,
-            yuv420=getattr(scorer, "upload_format", "rgb") == "yuv420",
+            yuv420=upload_format_of(scorer) == "yuv420",
         )
         probs = scorer.score(crops, boxes, lm5, valid)
         preds.extend(float(p) for p in probs[: len(group)])
@@ -162,7 +162,7 @@ def eval_video(
         # device-resident track buffers: every frame uploads ONCE; stride-1
         # windows are on-device slices (ClipScorer.score_dense). Short tracks
         # (reflect padding) go through the packed path on their own windows.
-        from ..runtime.packing import pack_track
+        from ..runtime.packing import pack_track, upload_format_of
 
         tracks = build_tracks(detect_res, lm68s, frames, clip_size, crop_scale)
         preds: List[float] = []
@@ -177,7 +177,7 @@ def eval_video(
                 continue
             fbuf, bbuf, lbuf = pack_track(
                 entries, crop_buffer,
-                yuv420=getattr(scorer, "upload_format", "rgb") == "yuv420",
+                yuv420=upload_format_of(scorer) == "yuv420",
             )
             preds.extend(float(p) for p in scorer.score_dense(
                 fbuf, bbuf, lbuf, starts, batch=batch, clip_size=clip_size

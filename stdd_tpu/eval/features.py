@@ -21,6 +21,9 @@ class FeatureCaptureScorer:
 
     def __init__(self, scorer):
         self.scorer = scorer
+        # forward the pack-format contract so the engine packs what the
+        # wrapped scorer expects (see packing.upload_format_of)
+        self.upload_format = getattr(scorer, "upload_format", "rgb")
         self.features: List[np.ndarray] = []
         self.logits: List[np.ndarray] = []
 

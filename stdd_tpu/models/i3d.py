@@ -57,6 +57,25 @@ class _RawKernel(nn.Module):
         return self.param("kernel", _msra_conv_init, self.shape)
 
 
+def _s2d_kernel(w):
+    """Re-lay a stem kernel [t,7,7,C,F] for 2×2 space-to-depth input: pad the
+    7s to 8 on the LEFT (w'[0]=0), split ky=2my+py / kx=2mx+px, fold
+    (py,px,C) into 4C input channels → [t,4,4,4C,F]. Shared by the s2d conv
+    and the t2 packed stem so the layout convention cannot desynchronize."""
+    t, _, _, C, F = w.shape
+    w = jnp.pad(w, ((0, 0), (1, 0), (1, 0), (0, 0), (0, 0)))
+    w = w.reshape(t, 4, 2, 4, 2, C, F).transpose(0, 1, 3, 2, 4, 5, 6)
+    return w.reshape(t, 4, 4, 4 * C, F)
+
+
+def _s2d_input(x):
+    """[B,T,H,W,C] → [B,T,H/2,W/2,4C] with channel order (py,px,C), matching
+    :func:`_s2d_kernel`'s input-channel fold."""
+    B, T, H, W, C = x.shape
+    xs = x.reshape(B, T, H // 2, 2, W // 2, 2, C)
+    return xs.transpose(0, 1, 2, 4, 3, 5, 6).reshape(B, T, H // 2, W // 2, 4 * C)
+
+
 class Conv3dBN(nn.Module):
     """conv3d (no bias) → BatchNorm, with optional zero-init of the BN scale.
 
@@ -88,13 +107,9 @@ class Conv3dBN(nn.Module):
         F = self.features
         w = _RawKernel((t, 7, 7, C, F), name="conv")()
         # out[o] = sum_k w[k]·x(2o-3+k)  ==  sum_{m,p} w'[2m+p]·s2d_p(o-2+m)
-        # with w'[0]=0 (left zero pad), so: pad→[t,8,8,C,F], split ky=2my+py,
-        # kx=2mx+px, fold (py,px,C)→12 input channels
-        w = jnp.pad(w, ((0, 0), (1, 0), (1, 0), (0, 0), (0, 0)))
-        w = w.reshape(t, 4, 2, 4, 2, C, F).transpose(0, 1, 3, 2, 4, 5, 6)
-        w = w.reshape(t, 4, 4, 4 * C, F)
-        xs = x.reshape(B, T, H // 2, 2, W // 2, 2, C)
-        xs = xs.transpose(0, 1, 2, 4, 3, 5, 6).reshape(B, T, H // 2, W // 2, 4 * C)
+        # with w'[0]=0 (left zero pad) — see _s2d_kernel/_s2d_input
+        w = _s2d_kernel(w)
+        xs = _s2d_input(x)
         return jax.lax.conv_general_dilated(
             xs.astype(self.dtype), w.astype(self.dtype),
             window_strides=(1, 1, 1),
@@ -193,10 +208,7 @@ def pack_stem_kernel_t2(w, scale, bias, mean, var, eps):
     inv = scale.astype(jnp.float32) * jax.lax.rsqrt(var.astype(jnp.float32) + eps)
     wf = w.astype(jnp.float32) * inv  # broadcast over trailing F
     bf = bias.astype(jnp.float32) - mean.astype(jnp.float32) * inv
-    # spatial 2x2 space-to-depth (as Conv3dBN._s2d_conv): pad 7→8, fold (p,c)
-    wf = jnp.pad(wf, ((0, 0), (1, 0), (1, 0), (0, 0), (0, 0)))
-    wf = wf.reshape(tk, 4, 2, 4, 2, C, F).transpose(0, 1, 3, 2, 4, 5, 6)
-    wf = wf.reshape(tk, 4, 4, 4 * C, F)
+    wf = _s2d_kernel(wf)  # spatial 2x2 space-to-depth, shared with Conv3dBN
     # temporal pair packing: (ot, kt) → cell offset m, in-cell position q
     m_lo, m_hi = _t2_cell_range(tk)
     M = m_hi - m_lo + 1
@@ -222,9 +234,7 @@ def stem_forward_t2(x, w_packed, bias2f, tk: int, dtype=jnp.float32):
     assert T % 2 == 0 and H % 2 == 0 and W % 2 == 0
     M, _, _, _, F2 = w_packed.shape
     F = F2 // 2
-    # space-to-depth 2x2
-    xs = x.reshape(B, T, H // 2, 2, W // 2, 2, C)
-    xs = xs.transpose(0, 1, 2, 4, 3, 5, 6).reshape(B, T, H // 2, W // 2, 4 * C)
+    xs = _s2d_input(x)  # space-to-depth 2x2, shared with Conv3dBN
     # temporal pair pack: channel = (q, 4C)
     Tc = T // 2
     xs = xs.reshape(B, Tc, 2, H // 2, W // 2, 4 * C).transpose(0, 1, 3, 4, 2, 5)

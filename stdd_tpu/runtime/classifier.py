@@ -177,8 +177,20 @@ class ClipScorer:
     def _score_impl(self, crops, boxes, lm5, valid, with_features: bool = False,
                     variables=None):
         S = self.cfg.crop_size
+        # loud format check: a facade that forgot to forward upload_format
+        # (packing.upload_format_of) must fail here, not decode garbage
         if self.upload_format == "yuv420":
+            if crops.ndim != 4:
+                raise ValueError(
+                    f"upload_format='yuv420' expects planar I420 crops "
+                    f"[B,T,S*3//2,S]; got shape {crops.shape} (pack with yuv420=True)"
+                )
             crops = yuv420_to_rgb(crops)
+        elif crops.ndim != 5:
+            raise ValueError(
+                f"upload_format='rgb' expects crops [B,T,H,W,3]; got shape "
+                f"{crops.shape}"
+            )
         aligned = self._align_batch(
             crops, boxes.astype(jnp.float32), lm5.astype(jnp.float32)
         )  # [B, T, S, S, 3] float32 (0..255)

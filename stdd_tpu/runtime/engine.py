@@ -385,10 +385,12 @@ class StreamingEngine:
                 if item is None:
                     continue
                 batch, t0 = item
+                from .packing import upload_format_of
+
                 crops, boxes, lm5, valid = pack_clip_batch(
                     [c.entries for c in batch], self.cfg.batch_clips,
                     self.cfg.clip_size, self.crop_buffer,
-                    yuv420=getattr(self.scorer, "upload_format", "rgb") == "yuv420",
+                    yuv420=upload_format_of(self.scorer) == "yuv420",
                 )
                 dev = self.scorer.score_async(crops, boxes, lm5, valid)
                 with self._lock:

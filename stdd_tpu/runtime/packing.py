@@ -14,6 +14,25 @@ def _get(e, k):
     return e[k] if isinstance(e, dict) else getattr(e, k)
 
 
+def upload_format_of(scorer) -> str:
+    """The pack format a scorer expects. Single source of truth for every
+    pack call site; scorer facades must forward ``upload_format`` (the
+    scorer itself also shape-checks its input, so a mismatch fails loudly
+    rather than decoding garbage)."""
+    return getattr(scorer, "upload_format", "rgb")
+
+
+def _encode_slot_yuv420(e, rgb_slot: np.ndarray, s: float, out: np.ndarray):
+    """Pack one entry through a reused RGB slot, then I420-encode into
+    ``out`` [S*3//2, S]; → (scaled box, scaled lm5)."""
+    import cv2
+
+    rgb_slot[:] = 0
+    box, lm5 = _pack_entry(e, rgb_slot, s)
+    out[:] = cv2.cvtColor(rgb_slot, cv2.COLOR_RGB2YUV_I420)
+    return box, lm5
+
+
 def _pack_entry(e, dst_slot: np.ndarray, s: float) -> Tuple[np.ndarray, np.ndarray]:
     """Write one entry's crop into a zero-padded S×S slot at uniform scale
     ``s`` (native C++ area-resize fast path); → (scaled box, scaled lm5)."""
@@ -71,11 +90,9 @@ def pack_clip_batch(
         s = min(1.0, S / float(max_dim))
         for ti, e in enumerate(entries[:T]):
             if yuv420:
-                import cv2
-
-                rgb_slot[:] = 0
-                boxes[bi, ti], lm5[bi, ti] = _pack_entry(e, rgb_slot, s)
-                crops[bi, ti] = cv2.cvtColor(rgb_slot, cv2.COLOR_RGB2YUV_I420)
+                boxes[bi, ti], lm5[bi, ti] = _encode_slot_yuv420(
+                    e, rgb_slot, s, crops[bi, ti]
+                )
             else:
                 boxes[bi, ti], lm5[bi, ti] = _pack_entry(e, crops[bi, ti], s)
         valid[bi] = True
@@ -105,11 +122,7 @@ def pack_track(
     rgb_slot = np.zeros((S, S, 3), np.uint8) if yuv420 else None
     for i, e in enumerate(entries):
         if yuv420:
-            import cv2
-
-            rgb_slot[:] = 0
-            boxes[i], lm5[i] = _pack_entry(e, rgb_slot, s)
-            frames[i] = cv2.cvtColor(rgb_slot, cv2.COLOR_RGB2YUV_I420)
+            boxes[i], lm5[i] = _encode_slot_yuv420(e, rgb_slot, s, frames[i])
         else:
             boxes[i], lm5[i] = _pack_entry(e, frames[i], s)
     return frames, boxes, lm5

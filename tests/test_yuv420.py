@@ -137,3 +137,28 @@ def test_scorer_rejects_unknown_upload_format():
     cfg = I3DConfig(num_frames=4, crop_size=64, depth=18)
     with pytest.raises(ValueError):
         ClipScorer.random_init(cfg=cfg, upload_format="nv12")
+
+
+def test_scorer_rejects_mispacked_crops_loudly():
+    """A facade that forgets to forward upload_format must fail with a clear
+    error, not decode RGB bytes as I420."""
+    cfg = I3DConfig(num_frames=4, crop_size=64, depth=18)
+    sc = ClipScorer.random_init(cfg=cfg, dtype=jnp.float32, upload_format="yuv420")
+    T, S = 4, 64
+    crops_rgb, boxes, lm5, valid = pack_clip_batch([_fake_clip_entries(T)], 1, T, S)
+    with pytest.raises(ValueError, match="yuv420"):
+        sc.score(crops_rgb, boxes, lm5, valid)
+    sc_rgb = ClipScorer(sc.variables, cfg=cfg, dtype=jnp.float32)
+    crops_yuv, _, _, _ = pack_clip_batch([_fake_clip_entries(T)], 1, T, S, yuv420=True)
+    with pytest.raises(ValueError, match="rgb"):
+        sc_rgb.score(crops_yuv, boxes, lm5, valid)
+
+
+def test_feature_capture_facade_forwards_upload_format():
+    from stdd_tpu.eval.features import FeatureCaptureScorer
+    from stdd_tpu.runtime.packing import upload_format_of
+
+    cfg = I3DConfig(num_frames=4, crop_size=64, depth=18)
+    sc = ClipScorer.random_init(cfg=cfg, dtype=jnp.float32, upload_format="yuv420")
+    assert upload_format_of(FeatureCaptureScorer(sc)) == "yuv420"
+    assert upload_format_of(object()) == "rgb"
