@@ -67,6 +67,8 @@ class _FrameEntry:
 class _PendingClip:
     tid: int
     entries: List[_FrameEntry]
+    owner: Any = None             # engine whose stream produced this clip
+    owner_gen: int = 0            # owner's reset generation at enqueue time
 
 
 class AsyncDetector:
@@ -120,6 +122,7 @@ class StreamingEngine:
         max_batch_wait_frames: Optional[int] = None,
         min_det_area: float = 0.0,
         exclude_bottom_frac: float = 0.0,
+        share_dispatch_from: Optional["StreamingEngine"] = None,
     ):
         self.cfg = cfg or PipelineConfig()
         self.scorer = scorer
@@ -145,49 +148,80 @@ class StreamingEngine:
         # extra detection filters (TEST2.py:516-529)
         self.min_det_area = min_det_area
         self.exclude_bottom_frac = exclude_bottom_frac
+        # cross-stream batching: engines serving concurrent calls can share
+        # ONE dispatch group (pending pool + upload lanes + in-flight set) so
+        # device batches fill across streams; each clip routes its result
+        # back to the engine that produced it (see MultiStreamServer)
+        self._group: "StreamingEngine" = share_dispatch_from or self
+        if share_dispatch_from is not None:
+            root = share_dispatch_from
+            if root._group is not root:
+                raise ValueError("share_dispatch_from must be a group-root engine")
+            if root.scorer is not self.scorer:
+                raise ValueError("shared-dispatch engines must share one scorer")
+            if (root.cfg.clip_size, root.crop_buffer) != (
+                self.cfg.clip_size, self.crop_buffer
+            ):
+                raise ValueError(
+                    "shared-dispatch engines must agree on clip_size and "
+                    "crop_buffer (batches are packed with the root's shapes)"
+                )
         self.reset()
 
     def reset(self) -> None:
-        # drain queued/in-flight work from the previous stream FIRST so late
-        # arrivals can't leak scores into the new stream
-        if hasattr(self, "_dispatch_q"):
-            self._dispatch_q.join()
-            with self._lock:
-                self.inflight = []
+        group_root = self._group is self
+        if group_root:
+            # drain queued/in-flight work from the previous stream FIRST so
+            # late arrivals can't leak scores into the new stream
+            if hasattr(self, "_dispatch_q"):
+                self._dispatch_q.join()
+                with self._lock:
+                    self.inflight = []
+            self.pending: List[_PendingClip] = []
+            self._oldest_pending_age: Optional[int] = None
+            self.clip_latencies: List[float] = []
+            self._worker_error: Optional[BaseException] = None
+            # in-flight async device batches: (seq, clips, device_probs,
+            # t_dispatch); harvested strictly in dispatch order (seq) so
+            # per-track score sequences are deterministic even when the two
+            # upload lanes finish out of order
+            self.inflight: List[Tuple[int, List[_PendingClip], Any, float]] = []
+            self._next_seq = 0
+            self._next_harvest_seq = 0
+            # background dispatch worker: the host→device upload of a packed
+            # clip batch blocks for seconds through the axon relay; doing it
+            # off-thread keeps the frame loop running (decode/track/pack
+            # fully overlap with upload AND device compute). Workers live on
+            # the group root and survive resets.
+            if not hasattr(self, "_workers"):
+                self._lock = threading.Lock()
+                self._dispatch_q = queue.Queue()
+                # two upload lanes: through the relay a single 50MB H2D takes
+                # seconds; two threads overlap consecutive batch uploads
+                self._workers = [
+                    threading.Thread(target=self._dispatch_worker, daemon=True)
+                    for _ in range(2)
+                ]
+                for w in self._workers:
+                    w.start()
+        # a secondary engine's reset bumps its generation instead of draining
+        # the shared queue: in-flight clips from its previous stream are
+        # dropped at harvest (owner_gen mismatch), peers are undisturbed
+        self._gen = getattr(self, "_gen", 0) + 1
         self.tracker = ByteTracker(**self._track_kwargs)
         self.frame_idx = 0
         self.buffers: Dict[int, Deque[_FrameEntry]] = {}
         self.lm5_offsets: Dict[int, np.ndarray] = {}
         self.since_emit: Dict[int, int] = collections.defaultdict(lambda: 10 ** 9)
         self.last_seen: Dict[int, int] = {}
-        self.pending: List[_PendingClip] = []
-        self._oldest_pending_age: Optional[int] = None
         self.track_clip_scores: Dict[int, List[float]] = collections.defaultdict(list)
         self.track_frames: Dict[int, int] = collections.defaultdict(int)
         self.hysteresis = HysteresisState(self.cfg.t_high, self.cfg.t_low)
         self.qstats: Dict[int, List[Tuple[float, float]]] = collections.defaultdict(list)
-        self.clip_latencies: List[float] = []
         self.id_switches = 0
         self._prev_boxes: Optional[np.ndarray] = None
         self._prev_ids: Optional[List[int]] = None
-        self._worker_error: Optional[BaseException] = None
-        # in-flight async device batches: (clips_meta, device_probs, t_dispatch)
-        self.inflight: List[Tuple[List[_PendingClip], Any, float]] = []
-        # background dispatch worker: the host→device upload of a packed clip
-        # batch blocks for seconds through the axon relay; doing it off-thread
-        # keeps the frame loop running (decode/track/pack fully overlap with
-        # upload AND device compute). One worker per engine, surviving resets.
-        if not hasattr(self, "_workers"):
-            self._lock = threading.Lock()
-            self._dispatch_q = queue.Queue()
-            # two upload lanes: through the relay a single 50MB H2D takes
-            # seconds; two threads overlap consecutive batch uploads
-            self._workers = [
-                threading.Thread(target=self._dispatch_worker, daemon=True)
-                for _ in range(2)
-            ]
-            for w in self._workers:
-                w.start()
+        self._ready: List[Tuple[int, float]] = []
 
     # -- per-frame host path -------------------------------------------------
 
@@ -277,31 +311,45 @@ class StreamingEngine:
                 len(buf) >= self.cfg.clip_size
                 and self.since_emit[tid] >= self.cfg.stride
             ):
-                if not self.pending:
-                    self._oldest_pending_age = 0
-                self.pending.append(_PendingClip(tid, list(buf)))
+                group = self._group
+                if not group.pending:
+                    group._oldest_pending_age = 0
+                group.pending.append(
+                    _PendingClip(tid, list(buf), owner=self, owner_gen=self._gen)
+                )
                 self.since_emit[tid] = 0
 
         self._gc_tracks()
 
-        if self.pending and self._oldest_pending_age is not None:
-            self._oldest_pending_age += 1
-        if len(self.pending) >= self.cfg.batch_clips or (
-            self.pending
-            and self.max_batch_wait_frames is not None
-            and (self._oldest_pending_age or 0) >= self.max_batch_wait_frames
+        group = self._group
+        if group.pending and group._oldest_pending_age is not None:
+            group._oldest_pending_age += 1
+        wait = group.max_batch_wait_frames
+        if len(group.pending) >= group.cfg.batch_clips or (
+            group.pending
+            and wait is not None
+            and (group._oldest_pending_age or 0) >= wait
         ):
-            self._dispatch()
-            self._oldest_pending_age = 0 if self.pending else None
-        results.extend(self._harvest(block=False))
+            group._dispatch()
+            group._oldest_pending_age = 0 if group.pending else None
+        group._harvest(block=False)
+        results.extend(self._take_ready())
         return results
+
+    def _take_ready(self) -> List[Tuple[int, float]]:
+        out, self._ready = self._ready, []
+        return out
 
     def flush(self) -> List[Tuple[int, float]]:
         """Score everything queued and drain in-flight work (end of stream
-        or low-latency mode)."""
-        while self.pending:
-            self._dispatch()
-        return self._harvest(block=True)
+        or low-latency mode). In a shared dispatch group this drains the
+        GROUP's queue; peers' results are routed to them, only this
+        stream's scores are returned."""
+        group = self._group
+        while group.pending:
+            group._dispatch()
+        group._harvest(block=True)
+        return self._take_ready()
 
     def finish(self, threshold: Optional[float] = None, **agg_kwargs) -> VideoVerdict:
         """Flush and produce the end-of-video verdict (TEST2 semantics,
@@ -374,7 +422,9 @@ class StreamingEngine:
             return
         # packing (downscale + zero-pad of B*T crops) happens on the worker
         # thread too, so the per-frame stepping thread only enqueues
-        self._dispatch_q.put((batch, time.perf_counter()))
+        seq = self._next_seq
+        self._next_seq += 1
+        self._dispatch_q.put((seq, batch, time.perf_counter()))
 
     def _dispatch_worker(self) -> None:
         from .packing import pack_clip_batch
@@ -384,7 +434,7 @@ class StreamingEngine:
             try:
                 if item is None:
                     continue
-                batch, t0 = item
+                seq, batch, t0 = item
                 from .packing import upload_format_of
 
                 crops, boxes, lm5, valid = pack_clip_batch(
@@ -394,22 +444,28 @@ class StreamingEngine:
                 )
                 dev = self.scorer.score_async(crops, boxes, lm5, valid)
                 with self._lock:
-                    self.inflight.append((batch, dev, t0))
+                    self.inflight.append((seq, batch, dev, t0))
             except Exception as exc:
                 # a dead worker would deadlock every later _dispatch_q.join();
-                # keep the thread alive, drop the batch, and surface the
+                # keep the thread alive, drop the batch (a None sentinel so
+                # the FIFO harvest cursor still advances), and surface the
                 # error to the engine's caller at the next step()/finish()
                 import traceback
 
                 traceback.print_exc()
                 self._worker_error = exc
+                if item is not None:
+                    with self._lock:
+                        self.inflight.append((item[0], [], None, item[2]))
             finally:
                 self._dispatch_q.task_done()
 
-    def _harvest(self, block: bool) -> List[Tuple[int, float]]:
-        """Collect finished device batches; with ``block=False`` only batches
-        whose results are already materialized are taken (plus forced takes
-        when the pipeline depth exceeds 2, to bound memory)."""
+    def _harvest(self, block: bool) -> None:
+        """Collect finished device batches and route each clip's score to
+        the engine that produced it (``clip.owner``); with ``block=False``
+        only batches whose results are already materialized are taken (plus
+        forced takes when the pipeline depth exceeds 2, to bound memory).
+        Callers read their own results from :meth:`_take_ready`."""
         import time
 
         if self._worker_error is not None:
@@ -420,39 +476,47 @@ class StreamingEngine:
 
         if block:
             self._dispatch_q.join()   # wait for uploads to reach the device
-        out: List[Tuple[int, float]] = []
         while True:
             with self._lock:
-                entries = list(self.inflight)
+                entries = sorted(self.inflight, key=lambda e: e[0])
             if not entries:
                 break
-            took_any = False
-            for entry in entries:
-                batch, dev, t0 = entry
-                ready = True
-                if not block and len(entries) <= 2:
-                    try:
-                        ready = bool(dev.is_ready())
-                    except AttributeError:
-                        ready = True
-                if not ready:
-                    continue
-                probs = np.asarray(dev)
-                self.clip_latencies.append(time.perf_counter() - t0)
-                with self._lock:
-                    try:
-                        self.inflight.remove(entry)
-                    except ValueError:
-                        continue
-                took_any = True
-                for bi, clip in enumerate(batch):
-                    p = float(probs[bi])
-                    self.track_clip_scores[clip.tid].append(p)
-                    self.hysteresis.update(clip.tid, p)
-                    out.append((clip.tid, p))
-            if not took_any:
+            # strict FIFO: only ever take the oldest in-flight batch, so
+            # score order == dispatch order regardless of which upload lane
+            # finishes first. When the pipeline is deeper than 2 batches the
+            # head is force-taken (blocking) to bound device memory.
+            entry = entries[0]
+            seq, batch, dev, t0 = entry
+            if seq != self._next_harvest_seq:
+                # the true head batch is still being packed on a worker
                 break
-        return out
+            if dev is None:           # failed batch (worker exception) — the
+                with self._lock:      # error already surfaced above; advance
+                    self.inflight.remove(entry)
+                self._next_harvest_seq += 1
+                continue
+            if not block and len(entries) <= 2:
+                try:
+                    if not bool(dev.is_ready()):
+                        break
+                except AttributeError:
+                    pass
+            probs = np.asarray(dev)
+            self.clip_latencies.append(time.perf_counter() - t0)
+            with self._lock:
+                try:
+                    self.inflight.remove(entry)
+                except ValueError:
+                    continue
+            self._next_harvest_seq += 1
+            for bi, clip in enumerate(batch):
+                owner = clip.owner or self
+                if owner._gen != clip.owner_gen:
+                    continue  # owner's stream was reset; stale score
+                p = float(probs[bi])
+                owner.track_clip_scores[clip.tid].append(p)
+                owner.hysteresis.update(clip.tid, p)
+                owner._ready.append((clip.tid, p))
 
 def _iou_one_to_many(box: np.ndarray, boxes: np.ndarray) -> np.ndarray:
     x1 = np.maximum(box[0], boxes[:, 0])
