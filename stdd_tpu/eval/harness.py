@@ -281,10 +281,11 @@ def build_engine(args):
         min_face_side=args.min_det_side,
         crop_scale=args.crop_scale,
     )
+    kw = dict(upload_format=getattr(args, "upload_format", "rgb"))
     if args.ckpt:
-        scorer = ClipScorer.from_torch_checkpoint(args.ckpt)
+        scorer = ClipScorer.from_torch_checkpoint(args.ckpt, **kw)
     else:
-        scorer = ClipScorer.random_init()
+        scorer = ClipScorer.random_init(**kw)
 
     detector = YuNetTPU(
         model_path=args.yunet_model,
@@ -335,6 +336,8 @@ def main(argv=None):
     ap.add_argument("--det_topk", type=int, default=64)
     ap.add_argument("--min_det_side", type=int, default=80)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--upload_format", default="rgb", choices=["rgb", "yuv420"],
+                    help="crop upload format; yuv420 halves host->device bytes")
     args = ap.parse_args(argv)
 
     if args.video_list:

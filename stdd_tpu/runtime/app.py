@@ -184,15 +184,18 @@ def main(argv=None):
     ap.add_argument("--max_frames", type=int, default=None)
     ap.add_argument("--show", action="store_true")
     ap.add_argument("--out_video", default=None)
+    ap.add_argument("--upload_format", default="rgb", choices=["rgb", "yuv420"],
+                    help="crop upload format; yuv420 halves host->device bytes")
     args = ap.parse_args(argv)
 
     from ..models.yunet import YuNetTPU
     from .classifier import ClipScorer
     from . import sources
 
+    kw = dict(upload_format=args.upload_format)
     scorer = (
-        ClipScorer.from_torch_checkpoint(args.ckpt) if args.ckpt
-        else ClipScorer.random_init()
+        ClipScorer.from_torch_checkpoint(args.ckpt, **kw) if args.ckpt
+        else ClipScorer.random_init(**kw)
     )
     det = YuNetTPU(conf_threshold=0.6)
 

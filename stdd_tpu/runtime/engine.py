@@ -437,8 +437,18 @@ class StreamingEngine:
                 seq, batch, t0 = item
                 from .packing import upload_format_of
 
+                # pack partial batches to the next power-of-2 capacity: a
+                # padded batch uploads its full fixed-shape buffer, so
+                # shipping a 1-clip flush in an 8-slot buffer wastes 7/8 of
+                # the H2D bytes (the streaming bottleneck). Capacities are
+                # powers of two so the executable count stays at
+                # log2(batch_clips)+1 (jit caches per shape).
+                cap = 1
+                while cap < len(batch):
+                    cap *= 2
+                cap = min(cap, self.cfg.batch_clips)
                 crops, boxes, lm5, valid = pack_clip_batch(
-                    [c.entries for c in batch], self.cfg.batch_clips,
+                    [c.entries for c in batch], cap,
                     self.cfg.clip_size, self.crop_buffer,
                     yuv420=upload_format_of(self.scorer) == "yuv420",
                 )
