@@ -120,12 +120,15 @@ def bench_i3d_throughput():
     from stdd_tpu.config import I3DConfig
     from stdd_tpu.models.i3d import I3D
 
+    import dataclasses
+
     cfg = I3DConfig()
     on_tpu = jax.devices()[0].platform != "cpu"
     batch = 32 if on_tpu else 1
-    if not on_tpu:
-        import dataclasses
-
+    if on_tpu:
+        # the serving stem layout (exact math, MXU-friendly)
+        cfg = dataclasses.replace(cfg, s2d_stem=True, stem_t2=True)
+    else:
         cfg = dataclasses.replace(cfg, num_frames=8, crop_size=64)
     model = I3D(cfg=cfg, dtype=jnp.bfloat16)
     shape = (batch, cfg.num_frames, cfg.crop_size, cfg.crop_size, 3)
