@@ -294,9 +294,19 @@ class StreamingEngine:
             # crop + BGR→RGB in one vectorized pass (~11x the numpy
             # reversed-stride copy on 1080p-scale crops)
             crop = cv2.cvtColor(frame_bgr[y1:y2, x1:x2], cv2.COLOR_BGR2RGB)
-            wq, q_side, q_lap = crop_quality(crop, **self.q)
-            if len(self.qstats[tid]) < 50:
-                self.qstats[tid].append((q_side, q_lap))
+            # the Laplacian blur metric only matters for soft weighting, the
+            # hard blur gate, or the QA stats (first 50 samples per track);
+            # once none apply, the exact same gating needs only min_side
+            if (
+                self.q["weighting"]
+                or self.q["lap_hard"] > 0
+                or len(self.qstats[tid]) < 50
+            ):
+                wq, q_side, q_lap = crop_quality(crop, **self.q)
+                if len(self.qstats[tid]) < 50:
+                    self.qstats[tid].append((q_side, q_lap))
+            else:
+                wq = 0.0 if min(crop.shape[:2]) < self.q["min_size_hard"] else 1.0
             if wq <= 0.0:
                 continue
 
