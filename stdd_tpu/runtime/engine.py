@@ -166,7 +166,33 @@ class StreamingEngine:
                     "shared-dispatch engines must agree on clip_size and "
                     "crop_buffer (batches are packed with the root's shapes)"
                 )
+            # batching cadence is a GROUP property: the root's value governs
+            if (
+                max_batch_wait_frames is not None
+                and max_batch_wait_frames != root.max_batch_wait_frames
+            ):
+                raise ValueError(
+                    "max_batch_wait_frames is group-level; set it on the "
+                    f"root engine (root has {root.max_batch_wait_frames!r})"
+                )
         self.reset()
+
+    # group-level pipeline state lives on the root; secondaries delegate
+    # reads so previously-public attributes keep working on server streams
+    _GROUP_ATTRS = frozenset(
+        ("pending", "inflight", "clip_latencies", "_worker_error",
+         "_oldest_pending_age", "_next_seq", "_next_harvest_seq",
+         "_lock", "_state_lock", "_harvest_lock", "_dispatch_q", "_workers")
+    )
+
+    def __getattr__(self, name):
+        if name in StreamingEngine._GROUP_ATTRS:
+            group = self.__dict__.get("_group")
+            if group is not None and group is not self:
+                return getattr(group, name)
+        raise AttributeError(
+            f"{type(self).__name__!r} object has no attribute {name!r}"
+        )
 
     def reset(self) -> None:
         group_root = self._group is self
@@ -179,7 +205,8 @@ class StreamingEngine:
                     self.inflight = []
             self.pending: List[_PendingClip] = []
             self._oldest_pending_age: Optional[int] = None
-            self.clip_latencies: List[float] = []
+            # bounded: a never-reset serving root must not grow forever
+            self.clip_latencies: Deque[float] = collections.deque(maxlen=10000)
             self._worker_error: Optional[BaseException] = None
             # in-flight async device batches: (seq, clips, device_probs,
             # t_dispatch); harvested strictly in dispatch order (seq) so
@@ -194,7 +221,11 @@ class StreamingEngine:
             # fully overlap with upload AND device compute). Workers live on
             # the group root and survive resets.
             if not hasattr(self, "_workers"):
-                self._lock = threading.Lock()
+                self._lock = threading.Lock()          # guards .inflight
+                # guards pending / seq / age when streams of a shared group
+                # step from different threads (RLock: _dispatch runs under it)
+                self._state_lock = threading.RLock()
+                self._harvest_lock = threading.Lock()  # serializes _harvest
                 self._dispatch_q = queue.Queue()
                 # two upload lanes: through the relay a single 50MB H2D takes
                 # seconds; two threads overlap consecutive batch uploads
@@ -204,9 +235,14 @@ class StreamingEngine:
                 ]
                 for w in self._workers:
                     w.start()
-        # a secondary engine's reset bumps its generation instead of draining
-        # the shared queue: in-flight clips from its previous stream are
-        # dropped at harvest (owner_gen mismatch), peers are undisturbed
+        else:
+            # a secondary engine's reset: drop its queued-but-undispatched
+            # clips (no point uploading them), and bump its generation so
+            # genuinely in-flight clips are discarded at harvest — peers are
+            # undisturbed either way
+            group = self._group
+            with group._state_lock:
+                group.pending = [c for c in group.pending if c.owner is not self]
         self._gen = getattr(self, "_gen", 0) + 1
         self.tracker = ByteTracker(**self._track_kwargs)
         self.frame_idx = 0
@@ -322,26 +358,28 @@ class StreamingEngine:
                 and self.since_emit[tid] >= self.cfg.stride
             ):
                 group = self._group
-                if not group.pending:
-                    group._oldest_pending_age = 0
-                group.pending.append(
-                    _PendingClip(tid, list(buf), owner=self, owner_gen=self._gen)
-                )
+                with group._state_lock:
+                    if not group.pending:
+                        group._oldest_pending_age = 0
+                    group.pending.append(
+                        _PendingClip(tid, list(buf), owner=self, owner_gen=self._gen)
+                    )
                 self.since_emit[tid] = 0
 
         self._gc_tracks()
 
         group = self._group
-        if group.pending and group._oldest_pending_age is not None:
-            group._oldest_pending_age += 1
-        wait = group.max_batch_wait_frames
-        if len(group.pending) >= group.cfg.batch_clips or (
-            group.pending
-            and wait is not None
-            and (group._oldest_pending_age or 0) >= wait
-        ):
-            group._dispatch()
-            group._oldest_pending_age = 0 if group.pending else None
+        with group._state_lock:
+            if group.pending and group._oldest_pending_age is not None:
+                group._oldest_pending_age += 1
+            wait = group.max_batch_wait_frames
+            if len(group.pending) >= group.cfg.batch_clips or (
+                group.pending
+                and wait is not None
+                and (group._oldest_pending_age or 0) >= wait
+            ):
+                group._dispatch()
+                group._oldest_pending_age = 0 if group.pending else None
         group._harvest(block=False)
         results.extend(self._take_ready())
         return results
@@ -356,8 +394,11 @@ class StreamingEngine:
         GROUP's queue; peers' results are routed to them, only this
         stream's scores are returned."""
         group = self._group
-        while group.pending:
-            group._dispatch()
+        while True:
+            with group._state_lock:
+                if not group.pending:
+                    break
+                group._dispatch()
         group._harvest(block=True)
         return self._take_ready()
 
@@ -426,14 +467,15 @@ class StreamingEngine:
         TEST2.py:393)."""
         import time
 
-        batch = self.pending[: self.cfg.batch_clips]
-        self.pending = self.pending[self.cfg.batch_clips :]
-        if not batch:
-            return
-        # packing (downscale + zero-pad of B*T crops) happens on the worker
-        # thread too, so the per-frame stepping thread only enqueues
-        seq = self._next_seq
-        self._next_seq += 1
+        with self._state_lock:
+            batch = self.pending[: self.cfg.batch_clips]
+            self.pending = self.pending[self.cfg.batch_clips :]
+            if not batch:
+                return
+            # packing (downscale + zero-pad of B*T crops) happens on the
+            # worker thread too, so the stepping thread only enqueues
+            seq = self._next_seq
+            self._next_seq += 1
         self._dispatch_q.put((seq, batch, time.perf_counter()))
 
     def _dispatch_worker(self) -> None:
@@ -496,6 +538,18 @@ class StreamingEngine:
 
         if block:
             self._dispatch_q.join()   # wait for uploads to reach the device
+        if not self._harvest_lock.acquire(blocking=block):
+            # another stream's thread is already harvesting; its pass will
+            # route our results too
+            return
+        try:
+            self._harvest_locked(block)
+        finally:
+            self._harvest_lock.release()
+
+    def _harvest_locked(self, block: bool) -> None:
+        import time
+
         while True:
             with self._lock:
                 entries = sorted(self.inflight, key=lambda e: e[0])

@@ -94,9 +94,14 @@ class MultiStreamServer:
         return self.streams[stream_id].flush()
 
     def finish(self, stream_id: int, **agg_kwargs) -> VideoVerdict:
-        """End a call: flush, aggregate its verdict, remove the stream."""
-        eng = self.streams.pop(stream_id)
-        return eng.finish(**agg_kwargs)
+        """End a call: flush, aggregate its verdict, remove the stream.
+        The stream is only removed on success — if a (possibly unrelated)
+        worker error surfaces during the flush, the stream and its
+        accumulated scores survive and ``finish`` can be retried."""
+        eng = self.streams[stream_id]
+        verdict = eng.finish(**agg_kwargs)
+        del self.streams[stream_id]
+        return verdict
 
     def engine(self, stream_id: int) -> StreamingEngine:
         return self.streams[stream_id]

@@ -92,6 +92,96 @@ def test_secondary_reset_drops_stale_scores_only():
     assert server.engine(a).track_clip_scores == {}
 
 
+def test_concurrent_threaded_streams_match_standalone():
+    """The deployment shape: each call stepped from its own thread. The
+    shared group's pending/seq/harvest state must stay consistent — every
+    stream's per-track score sequence equals its standalone run."""
+    import threading
+
+    scorer = ClipScorer.random_init(cfg=SMALL_CFG, dtype=jnp.float32)
+    frame = _frame()
+    solo = _collect_standalone(scorer, 30, frame)
+
+    server = MultiStreamServer(scorer, cfg=PIPE, **ENG_KW)
+    sids = [server.add_stream(make_fake_detector()) for _ in range(3)]
+    got = {sid: [] for sid in sids}
+    errs = []
+
+    def run(sid):
+        try:
+            for _ in range(30):
+                got[sid] += server.step(sid, frame)
+            got[sid] += server.flush(sid)
+        except BaseException as e:   # pragma: no cover - failure path
+            errs.append(e)
+
+    threads = [threading.Thread(target=run, args=(sid,)) for sid in sids]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    # a racing flush may drain results into a peer's routing pass before
+    # this stream's own flush returns; collect the remainder
+    for sid in sids:
+        got[sid] += server.engine(sid)._take_ready()
+    for sid in sids:
+        per_track = {}
+        for tid, p in got[sid]:
+            per_track.setdefault(tid, []).append(p)
+        # same clips, same order; values may drift ~1e-7 because a clip can
+        # land in a different batch-capacity executable than in the solo run
+        assert set(per_track) == set(solo)
+        for tid in solo:
+            np.testing.assert_allclose(per_track[tid], solo[tid], atol=1e-5)
+
+
+def test_secondary_engine_delegates_group_attrs():
+    scorer = ClipScorer.random_init(cfg=SMALL_CFG, dtype=jnp.float32)
+    server = MultiStreamServer(scorer, cfg=PIPE, **ENG_KW)
+    sid = server.add_stream(make_fake_detector())
+    eng = server.engine(sid)
+    assert eng.clip_latencies is server._root.clip_latencies
+    assert eng.pending is server._root.pending
+    with pytest.raises(AttributeError):
+        eng.no_such_attribute
+
+
+def test_secondary_reset_clears_its_pending_clips():
+    scorer = ClipScorer.random_init(cfg=SMALL_CFG, dtype=jnp.float32)
+    # huge batch so nothing dispatches; pending accumulates
+    pipe = PipelineConfig(clip_size=8, imsize=64, stride=4, detect_every=2,
+                          batch_clips=64, min_face_side=10)
+    server = MultiStreamServer(scorer, cfg=pipe, max_batch_wait_frames=10 ** 9,
+                               **ENG_KW)
+    a = server.add_stream(make_fake_detector())
+    b = server.add_stream(make_fake_detector())
+    frame = _frame()
+    for _ in range(20):
+        server.step(a, frame)
+        server.step(b, frame)
+    eng_a = server.engine(a)
+    assert any(c.owner is eng_a for c in server._root.pending)
+    eng_a.reset()
+    assert not any(c.owner is eng_a for c in server._root.pending)
+    assert any(c.owner is server.engine(b) for c in server._root.pending)
+
+
+def test_group_level_wait_must_be_set_on_root():
+    scorer = ClipScorer.random_init(cfg=SMALL_CFG, dtype=jnp.float32)
+    root = StreamingEngine(scorer, make_fake_detector(), cfg=PIPE,
+                           max_batch_wait_frames=5, **ENG_KW)
+    with pytest.raises(ValueError, match="group-level"):
+        StreamingEngine(scorer, make_fake_detector(), cfg=PIPE,
+                        share_dispatch_from=root, max_batch_wait_frames=7,
+                        **ENG_KW)
+    # same value or None are fine
+    StreamingEngine(scorer, make_fake_detector(), cfg=PIPE,
+                    share_dispatch_from=root, max_batch_wait_frames=5, **ENG_KW)
+    StreamingEngine(scorer, make_fake_detector(), cfg=PIPE,
+                    share_dispatch_from=root, **ENG_KW)
+
+
 def test_shared_dispatch_validation():
     scorer = ClipScorer.random_init(cfg=SMALL_CFG, dtype=jnp.float32)
     other = ClipScorer(scorer.variables, cfg=SMALL_CFG, dtype=jnp.float32)
