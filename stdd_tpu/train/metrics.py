@@ -157,6 +157,34 @@ def agg_person_median(logits: np.ndarray, y: np.ndarray, trk: np.ndarray):
     return meds, y_person
 
 
+def topks_correct(preds: np.ndarray, labels: np.ndarray, ks):
+    """Number of top-k-correct predictions per k (reference
+    slowfast/utils/metrics.py:9 topks_correct): ``preds`` [N, C] scores,
+    ``labels`` [N] class indices."""
+    preds = np.asarray(preds)
+    labels = np.asarray(labels).reshape(-1)
+    assert preds.shape[0] == labels.shape[0], (
+        "Batch dim of predictions and labels must match"
+    )
+    max_k = max(ks)
+    # descending top-max_k class indices per sample
+    top_inds = np.argsort(-preds, axis=1, kind="stable")[:, :max_k]  # [N, max_k]
+    correct = top_inds == labels[:, None]                            # [N, max_k]
+    return [float(correct[:, :k].sum()) for k in ks]
+
+
+def topk_accuracies(preds, labels, ks):
+    """Top-k accuracy (%) per k (reference metrics.py:58)."""
+    n = np.asarray(preds).shape[0]
+    return [c / n * 100.0 for c in topks_correct(preds, labels, ks)]
+
+
+def topk_errors(preds, labels, ks):
+    """Top-k error (%) per k (reference metrics.py:46)."""
+    n = np.asarray(preds).shape[0]
+    return [(1.0 - c / n) * 100.0 for c in topks_correct(preds, labels, ks)]
+
+
 def agg_video_noisyor(logits: np.ndarray, y: np.ndarray, trk: np.ndarray, vid: np.ndarray):
     """Person median → video noisy-OR (engine.py:177
     _agg_video_from_person_median)."""

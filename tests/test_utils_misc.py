@@ -151,3 +151,41 @@ def test_sub_to_normal_bn():
     assert not any(".split_bn." in k for k in out)
     assert out["s1.bn.weight"].shape == (4,)
     assert out["s1.conv.weight"].shape == (4, 3, 1, 1, 1)
+
+
+def test_topks_correct_matches_reference():
+    """Oracle parity with slowfast/utils/metrics.py topks_correct /
+    topk_accuracies / topk_errors."""
+    import importlib.util
+    import numpy as np
+    import pytest
+
+    torch = pytest.importorskip("torch")
+
+    from stdd_tpu.train.metrics import topk_accuracies, topk_errors, topks_correct
+
+    def ref_topks_correct(preds, labels, ks):
+        # reference slowfast/utils/metrics.py:9 verbatim, except .view ->
+        # .reshape: the original crashes on modern torch (view of the
+        # non-contiguous .t() result)
+        _v, top_max_k_inds = torch.topk(preds, max(ks), dim=1, largest=True,
+                                        sorted=True)
+        top_max_k_inds = top_max_k_inds.t()
+        rep = labels.view(1, -1).expand_as(top_max_k_inds)
+        correct = top_max_k_inds.eq(rep)
+        return [correct[:k, :].reshape(-1).float().sum() for k in ks]
+
+    rs = np.random.RandomState(0)
+    preds = rs.randn(64, 10).astype(np.float32)
+    labels = rs.randint(0, 10, (64,))
+    ks = [1, 3, 5]
+    ours = topks_correct(preds, labels, ks)
+    theirs = ref_topks_correct(torch.tensor(preds), torch.tensor(labels), ks)
+    assert ours == [float(t) for t in theirs]
+    n = preds.shape[0]
+    np.testing.assert_allclose(
+        topk_accuracies(preds, labels, ks),
+        [float(t) / n * 100.0 for t in theirs], rtol=1e-6)
+    np.testing.assert_allclose(
+        topk_errors(preds, labels, ks),
+        [(1.0 - float(t) / n) * 100.0 for t in theirs], rtol=1e-6)
