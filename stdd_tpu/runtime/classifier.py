@@ -210,6 +210,27 @@ class ClipScorer:
             return probs, logits.astype(jnp.float32), feats
         return probs
 
+    def warmup(self, crop_buffer: int, batch_capacities=(1, 2, 4, 8),
+               clip_size: Optional[int] = None) -> None:
+        """Pre-compile the fused scorer for every batch capacity the engine
+        can dispatch (power-of-2 partial batches), so serving never compiles
+        in the hot path — first-clip latency through a cold process is
+        otherwise a full XLA compile. Blocks until all executables exist."""
+        T = clip_size or self.cfg.num_frames
+        S = crop_buffer
+        for b in batch_capacities:
+            if self.upload_format == "yuv420":
+                crops = np.zeros((b, T, S * 3 // 2, S), np.uint8)
+            else:
+                crops = np.zeros((b, T, S, S, 3), np.uint8)
+            boxes = np.ones((b, T, 4), np.float32)
+            lm5 = np.ones((b, T, 5, 2), np.float32)
+            valid = np.zeros((b,), bool)
+            np.asarray(self._score(
+                jnp.asarray(crops), jnp.asarray(boxes),
+                jnp.asarray(lm5), jnp.asarray(valid),
+            ))
+
     def score(self, crops, boxes, lm5, valid) -> np.ndarray:
         out = self._score(
             jnp.asarray(crops), jnp.asarray(boxes), jnp.asarray(lm5), jnp.asarray(valid)

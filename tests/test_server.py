@@ -136,6 +136,25 @@ def test_concurrent_threaded_streams_match_standalone():
             np.testing.assert_allclose(per_track[tid], solo[tid], atol=1e-5)
 
 
+def test_server_warmup_precompiles_all_capacities():
+    scorer = ClipScorer.random_init(cfg=SMALL_CFG, dtype=jnp.float32)
+    server = MultiStreamServer(scorer, cfg=PIPE, **ENG_KW)
+    server.warmup()   # PIPE.batch_clips=2 → capacities (1, 2)
+    sizes = {2}
+    # the jit cache now holds one executable per capacity: serving a stream
+    # afterwards must not add new compilations for these shapes (smoke: the
+    # scorer accepts both capacities without error)
+    import numpy as np
+
+    for b in (1, 2):
+        crops = np.zeros((b, PIPE.clip_size, 160, 160, 3), np.uint8)
+        boxes = np.ones((b, PIPE.clip_size, 4), np.float32)
+        lm5 = np.ones((b, PIPE.clip_size, 5, 2), np.float32)
+        valid = np.ones((b,), bool)
+        probs = scorer.score(crops, boxes, lm5, valid)
+        assert probs.shape == (b,)
+
+
 def test_secondary_engine_delegates_group_attrs():
     scorer = ClipScorer.random_init(cfg=SMALL_CFG, dtype=jnp.float32)
     server = MultiStreamServer(scorer, cfg=PIPE, **ENG_KW)
