@@ -186,6 +186,8 @@ def main(argv=None):
     ap.add_argument("--out_video", default=None)
     ap.add_argument("--upload_format", default="rgb", choices=["rgb", "yuv420"],
                     help="crop upload format; yuv420 halves host->device bytes")
+    ap.add_argument("--no_warmup", dest="warmup", action="store_false",
+                    help="skip the startup pre-compile of scorer batch shapes")
     args = ap.parse_args(argv)
 
     from ..models.yunet import YuNetTPU
@@ -215,6 +217,18 @@ def main(argv=None):
         detect_every=args.detect_every, threshold=args.threshold,
     )
     engine = StreamingEngine(scorer, detect_fn, cfg=cfg)
+    if args.warmup:
+        # pre-compile the scorer for every batch capacity the engine can
+        # dispatch; otherwise the first clips of a live call wait on XLA
+        import jax as _jax
+
+        if _jax.devices()[0].platform != "cpu":
+            caps, c = [], 1
+            while c <= cfg.batch_clips:
+                caps.append(c)
+                c *= 2
+            print(f"warming up scorer (capacities {caps})...")
+            scorer.warmup(engine.crop_buffer, tuple(caps), cfg.clip_size)
     app = RealtimeApp(engine, threshold=args.threshold)
 
     if args.source.startswith("webcam"):
