@@ -307,10 +307,19 @@ def build_engine(args):
             rows[:, 1:14:2] *= sy
         return rows
 
-    return StreamingEngine(
+    engine = StreamingEngine(
         scorer, detect_fn, cfg=cfg, crop_buffer=args.crop_buffer,
         start_conf=args.det_conf,
     )
+    if getattr(args, "warmup", True) and jax.devices()[0].platform != "cpu":
+        # pre-compile every batch capacity so the first video's fps is not
+        # an XLA compile measurement
+        caps, c = [], 1
+        while c <= cfg.batch_clips:
+            caps.append(c)
+            c *= 2
+        scorer.warmup(args.crop_buffer, tuple(caps), cfg.clip_size)
+    return engine
 
 
 def main(argv=None):
@@ -338,6 +347,8 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--upload_format", default="rgb", choices=["rgb", "yuv420"],
                     help="crop upload format; yuv420 halves host->device bytes")
+    ap.add_argument("--no_warmup", dest="warmup", action="store_false",
+                    help="skip the startup pre-compile of scorer batch shapes")
     args = ap.parse_args(argv)
 
     if args.video_list:
