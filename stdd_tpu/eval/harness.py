@@ -314,11 +314,7 @@ def build_engine(args):
     if getattr(args, "warmup", True) and jax.devices()[0].platform != "cpu":
         # pre-compile every batch capacity so the first video's fps is not
         # an XLA compile measurement
-        caps, c = [], 1
-        while c <= cfg.batch_clips:
-            caps.append(c)
-            c *= 2
-        scorer.warmup(args.crop_buffer, tuple(caps), cfg.clip_size)
+        engine.warmup()
     return engine
 
 

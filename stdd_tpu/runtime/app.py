@@ -223,12 +223,8 @@ def main(argv=None):
         import jax as _jax
 
         if _jax.devices()[0].platform != "cpu":
-            caps, c = [], 1
-            while c <= cfg.batch_clips:
-                caps.append(c)
-                c *= 2
-            print(f"warming up scorer (capacities {caps})...")
-            scorer.warmup(engine.crop_buffer, tuple(caps), cfg.clip_size)
+            print("warming up scorer...")
+            engine.warmup()
     app = RealtimeApp(engine, threshold=args.threshold)
 
     if args.source.startswith("webcam"):

@@ -81,14 +81,10 @@ class ClipScorer:
         if s2d_stem is None:
             s2d_stem = on_accel and not self.cfg.temporal_only and self.cfg.crop_size % 2 == 0
         if s2d_stem and not self.cfg.s2d_stem:
-            import dataclasses
-
             self.cfg = dataclasses.replace(self.cfg, s2d_stem=True)
         # temporal-pair packed stem (eval-only, folded BN — exact math,
         # ~1.5x the s2d stem on TPU); the scorer always runs train=False
         if self.cfg.s2d_stem and not self.cfg.stem_t2 and self.cfg.num_frames % 2 == 0:
-            import dataclasses
-
             self.cfg = dataclasses.replace(self.cfg, stem_t2=True)
         # "yuv420": score() takes planar I420 crops [B,T,S*3//2,S] (packed by
         # pack_clip_batch(yuv420=True)) — half the host→device bytes, which

@@ -259,6 +259,18 @@ class StreamingEngine:
         self._prev_ids: Optional[List[int]] = None
         self._ready: List[Tuple[int, float]] = []
 
+    def warmup(self) -> None:
+        """Pre-compile the scorer for every batch capacity this engine's
+        dispatch group can ship, so no clip ever waits on an XLA compile.
+        Call once at serving startup (the CLIs do, gated to accelerators)."""
+        from .packing import pow2_capacities
+
+        group = self._group
+        group.scorer.warmup(
+            group.crop_buffer, pow2_capacities(group.cfg.batch_clips),
+            group.cfg.clip_size,
+        )
+
     # -- per-frame host path -------------------------------------------------
 
     def step(self, frame_bgr: np.ndarray) -> List[Tuple[int, float]]:
@@ -487,7 +499,7 @@ class StreamingEngine:
                 if item is None:
                     continue
                 seq, batch, t0 = item
-                from .packing import upload_format_of
+                from .packing import pow2_capacities, upload_format_of
 
                 # pack partial batches to the next power-of-2 capacity: a
                 # padded batch uploads its full fixed-shape buffer, so
@@ -495,10 +507,11 @@ class StreamingEngine:
                 # the H2D bytes (the streaming bottleneck). Capacities are
                 # powers of two so the executable count stays at
                 # log2(batch_clips)+1 (jit caches per shape).
-                cap = 1
-                while cap < len(batch):
-                    cap *= 2
-                cap = min(cap, self.cfg.batch_clips)
+                cap = next(
+                    (c for c in pow2_capacities(self.cfg.batch_clips)
+                     if c >= len(batch)),
+                    self.cfg.batch_clips,
+                )
                 crops, boxes, lm5, valid = pack_clip_batch(
                     [c.entries for c in batch], cap,
                     self.cfg.clip_size, self.crop_buffer,

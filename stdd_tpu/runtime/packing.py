@@ -14,6 +14,18 @@ def _get(e, k):
     return e[k] if isinstance(e, dict) else getattr(e, k)
 
 
+def pow2_capacities(max_batch: int):
+    """All power-of-2 batch capacities a dispatch group can ship:
+    (1, 2, ..., ≤max_batch). Partial batches pack to the next of these (see
+    StreamingEngine._dispatch_worker), so these are exactly the executable
+    shapes to pre-compile."""
+    caps, c = [], 1
+    while c <= max_batch:
+        caps.append(c)
+        c *= 2
+    return tuple(caps)
+
+
 def upload_format_of(scorer) -> str:
     """The pack format a scorer expects. Single source of truth for every
     pack call site; scorer facades must forward ``upload_format`` (the

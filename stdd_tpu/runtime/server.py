@@ -70,17 +70,9 @@ class MultiStreamServer:
         self._next_id = 0
 
     def warmup(self) -> None:
-        """Pre-compile every batch capacity the dispatch group can ship
-        (powers of two up to ``batch_clips``) so no call ever waits on an
-        XLA compile. Call once at serving startup."""
-        caps, c = [], 1
-        while c <= self.cfg.batch_clips:
-            caps.append(c)
-            c *= 2
-        self.scorer.warmup(
-            self._root.crop_buffer, batch_capacities=tuple(caps),
-            clip_size=self.cfg.clip_size,
-        )
+        """Pre-compile every batch capacity the dispatch group can ship so
+        no call ever waits on an XLA compile. Call once at serving startup."""
+        self._root.warmup()
 
     def add_stream(self, detect_fn: Callable[[np.ndarray], np.ndarray]) -> int:
         """Register a new call; returns its stream id."""
