@@ -88,7 +88,11 @@ def bench_engine():
     rng = np.random.RandomState(0)
     frame = rng.randint(0, 255, frame_hw + (3,), np.uint8)
 
-    # warmup: trigger both compiles (detector + fused scorer) and fill buffers
+    # warmup: pre-compile every dispatchable batch capacity, then trigger the
+    # detector compile and fill buffers — a timed pass must never contain an
+    # XLA compile
+    if on_tpu:
+        eng.warmup()
     for _ in range(warmup_frames):
         eng.step(frame)
     eng.flush()
