@@ -188,6 +188,10 @@ def main(argv=None):
                     help="crop upload format; yuv420 halves host->device bytes")
     ap.add_argument("--no_warmup", dest="warmup", action="store_false",
                     help="skip the startup pre-compile of scorer batch shapes")
+    ap.add_argument("--max_batch_wait", type=int, default=None,
+                    help="ship a partial clip batch after this many frames "
+                         "(default: stride — a 1-face call must not wait for "
+                         "a full batch to see its first score); <=0 disables")
     args = ap.parse_args(argv)
 
     from ..models.yunet import YuNetTPU
@@ -216,7 +220,11 @@ def main(argv=None):
         clip_size=args.clip_size, stride=args.stride,
         detect_every=args.detect_every, threshold=args.threshold,
     )
-    engine = StreamingEngine(scorer, detect_fn, cfg=cfg)
+    wait = args.max_batch_wait if args.max_batch_wait is not None else args.stride
+    engine = StreamingEngine(
+        scorer, detect_fn, cfg=cfg,
+        max_batch_wait_frames=wait if wait > 0 else None,
+    )
     if args.warmup:
         # pre-compile the scorer for every batch capacity the engine can
         # dispatch; otherwise the first clips of a live call wait on XLA

@@ -67,8 +67,9 @@ class ClipScorer:
         self.cfg = cfg or I3DConfig()
         on_accel = jax.devices()[0].platform not in ("cpu",)
         if use_pallas_warp is None:
-            # the Mosaic kernel needs a real TPU; CPU tests take the XLA path
-            use_pallas_warp = on_accel
+            # the Mosaic kernel needs a real TPU (not just any accelerator);
+            # CPU tests and GPU backends take the XLA gather path
+            use_pallas_warp = jax.devices()[0].platform == "tpu"
         self.use_pallas_warp = use_pallas_warp
         self.warp_band = warp_band
         # cv2.warpAffine on a uint8 canvas rounds to uint8 before the model
@@ -102,7 +103,7 @@ class ClipScorer:
             lambda c, b, l, v: self._score_impl(c, b, l, v, with_features=True)
         )
 
-    def _align_batch(self, crops, boxes, lm5):
+    def _align_batch(self, crops, boxes, lm5, valid):
         """Batched clip-stable alignment. On TPU the warp runs as the Pallas
         band-matmul kernel (ops/warp_pallas.py, ~19x the XLA gather); the
         envelope covers |roll| ≲ 13 deg at band 64 — beyond that (or on CPU)
@@ -145,8 +146,12 @@ class ClipScorer:
 
         # rotation envelope (warp_pallas.rotation_fits_band, in-graph): the
         # band covers |m10|·S + ~10 rows of drift; beyond that fall back to
-        # the exact gather for the whole batch
-        drift = jnp.max(jnp.abs(params[..., 3])) * S + 10.0
+        # the exact gather for the whole batch. Padded (invalid) slots hold
+        # all-zero landmarks whose similarity fit is NaN — they are masked
+        # out so a partial batch doesn't silently disable the fast path.
+        drift_bt = jnp.abs(params[..., 3])                 # [B, T]
+        drift_bt = jnp.where(valid[:, None], drift_bt, 0.0)
+        drift = jnp.max(drift_bt) * S + 10.0
         return jax.lax.cond(
             drift <= self.warp_band, pallas_branch, gather_branch,
             crops, boxes, lm5, params,
@@ -188,7 +193,7 @@ class ClipScorer:
                 f"{crops.shape}"
             )
         aligned = self._align_batch(
-            crops, boxes.astype(jnp.float32), lm5.astype(jnp.float32)
+            crops, boxes.astype(jnp.float32), lm5.astype(jnp.float32), valid
         )  # [B, T, S, S, 3] float32 (0..255)
         if self.round_aligned_u8:
             aligned = jnp.round(jnp.clip(aligned, 0, 255))

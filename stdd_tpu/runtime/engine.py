@@ -69,6 +69,7 @@ class _PendingClip:
     entries: List[_FrameEntry]
     owner: Any = None             # engine whose stream produced this clip
     owner_gen: int = 0            # owner's reset generation at enqueue time
+    tick: int = 0                 # group step counter at enqueue (batch-wait age)
 
 
 class AsyncDetector:
@@ -181,7 +182,7 @@ class StreamingEngine:
     # reads so previously-public attributes keep working on server streams
     _GROUP_ATTRS = frozenset(
         ("pending", "inflight", "clip_latencies", "_worker_error",
-         "_oldest_pending_age", "_next_seq", "_next_harvest_seq",
+         "_tick", "_next_seq", "_next_harvest_seq",
          "_lock", "_state_lock", "_harvest_lock", "_dispatch_q", "_workers")
     )
 
@@ -204,7 +205,7 @@ class StreamingEngine:
                 with self._lock:
                     self.inflight = []
             self.pending: List[_PendingClip] = []
-            self._oldest_pending_age: Optional[int] = None
+            self._tick = 0
             # bounded: a never-reset serving root must not grow forever
             self.clip_latencies: Deque[float] = collections.deque(maxlen=10000)
             self._worker_error: Optional[BaseException] = None
@@ -320,6 +321,10 @@ class StreamingEngine:
                     if ious[i_prev, j] >= 0.5 and self._prev_ids[i_prev] != cur_ids[j]:
                         self.id_switches += 1
             self._prev_boxes, self._prev_ids = cb, cur_ids
+        else:
+            # consecutive-frame metric: an empty frame breaks the chain, so
+            # a later face at a similar position is not a "switch"
+            self._prev_boxes = self._prev_ids = None
 
         import cv2
 
@@ -371,10 +376,9 @@ class StreamingEngine:
             ):
                 group = self._group
                 with group._state_lock:
-                    if not group.pending:
-                        group._oldest_pending_age = 0
                     group.pending.append(
-                        _PendingClip(tid, list(buf), owner=self, owner_gen=self._gen)
+                        _PendingClip(tid, list(buf), owner=self,
+                                     owner_gen=self._gen, tick=group._tick)
                     )
                 self.since_emit[tid] = 0
 
@@ -382,16 +386,18 @@ class StreamingEngine:
 
         group = self._group
         with group._state_lock:
-            if group.pending and group._oldest_pending_age is not None:
-                group._oldest_pending_age += 1
+            group._tick += 1
             wait = group.max_batch_wait_frames
-            if len(group.pending) >= group.cfg.batch_clips or (
+            # dispatch every full batch; in latency mode also ship a partial
+            # batch once its OLDEST clip has waited `wait` group steps (each
+            # clip carries its enqueue tick, so leftover clips keep their age
+            # across partial dispatches)
+            while len(group.pending) >= group.cfg.batch_clips or (
                 group.pending
                 and wait is not None
-                and (group._oldest_pending_age or 0) >= wait
+                and group._tick - group.pending[0].tick >= wait
             ):
                 group._dispatch()
-                group._oldest_pending_age = 0 if group.pending else None
         group._harvest(block=False)
         results.extend(self._take_ready())
         return results
@@ -403,15 +409,16 @@ class StreamingEngine:
     def flush(self) -> List[Tuple[int, float]]:
         """Score everything queued and drain in-flight work (end of stream
         or low-latency mode). In a shared dispatch group this drains the
-        GROUP's queue; peers' results are routed to them, only this
-        stream's scores are returned."""
+        GROUP's queue up to the point of the call; peers' results are routed
+        to them, only this stream's scores are returned. Peers that keep
+        dispatching NEW batches concurrently do not extend this wait (the
+        target sequence is snapshotted up front)."""
         group = self._group
-        while True:
-            with group._state_lock:
-                if not group.pending:
-                    break
+        with group._state_lock:
+            while group.pending:
                 group._dispatch()
-        group._harvest(block=True)
+            target = group._next_seq
+        group._harvest_until(target)
         return self._take_ready()
 
     def finish(self, threshold: Optional[float] = None, **agg_kwargs) -> VideoVerdict:
@@ -535,22 +542,20 @@ class StreamingEngine:
             finally:
                 self._dispatch_q.task_done()
 
-    def _harvest(self, block: bool) -> None:
-        """Collect finished device batches and route each clip's score to
-        the engine that produced it (``clip.owner``); with ``block=False``
-        only batches whose results are already materialized are taken (plus
-        forced takes when the pipeline depth exceeds 2, to bound memory).
-        Callers read their own results from :meth:`_take_ready`."""
-        import time
-
+    def _raise_worker_error(self) -> None:
         if self._worker_error is not None:
             exc, self._worker_error = self._worker_error, None
             raise RuntimeError(
                 "scoring worker failed; the batch was dropped"
             ) from exc
 
-        if block:
-            self._dispatch_q.join()   # wait for uploads to reach the device
+    def _harvest(self, block: bool) -> None:
+        """Collect finished device batches and route each clip's score to
+        the engine that produced it (``clip.owner``); with ``block=False``
+        only batches whose results are already materialized are taken (plus
+        forced takes when the pipeline depth exceeds 2, to bound memory).
+        Callers read their own results from :meth:`_take_ready`."""
+        self._raise_worker_error()
         if not self._harvest_lock.acquire(blocking=block):
             # another stream's thread is already harvesting; its pass will
             # route our results too
@@ -559,6 +564,20 @@ class StreamingEngine:
             self._harvest_locked(block)
         finally:
             self._harvest_lock.release()
+
+    def _harvest_until(self, target_seq: int) -> None:
+        """Blocking harvest of every batch dispatched before ``target_seq``
+        (exclusive). Unlike a queue join, this cannot be extended by peers
+        dispatching new work while we wait."""
+        import time
+
+        while True:
+            self._raise_worker_error()
+            with self._harvest_lock:
+                self._harvest_locked(block=True)
+            if self._next_harvest_seq >= target_seq:
+                return
+            time.sleep(0.002)   # head batch is still packing on a worker
 
     def _harvest_locked(self, block: bool) -> None:
         import time
@@ -588,7 +607,18 @@ class StreamingEngine:
                         break
                 except AttributeError:
                     pass
-            probs = np.asarray(dev)
+            try:
+                probs = np.asarray(dev)
+            except Exception as exc:
+                # a device-side failure must not wedge the FIFO: drop the
+                # batch, advance the cursor, surface the error to the caller
+                with self._lock:
+                    if entry in self.inflight:
+                        self.inflight.remove(entry)
+                self._next_harvest_seq += 1
+                raise RuntimeError(
+                    "device scoring failed; the batch was dropped"
+                ) from exc
             self.clip_latencies.append(time.perf_counter() - t0)
             with self._lock:
                 try:

@@ -15,14 +15,16 @@ def _get(e, k):
 
 
 def pow2_capacities(max_batch: int):
-    """All power-of-2 batch capacities a dispatch group can ship:
-    (1, 2, ..., ≤max_batch). Partial batches pack to the next of these (see
-    StreamingEngine._dispatch_worker), so these are exactly the executable
-    shapes to pre-compile."""
+    """All batch capacities a dispatch group can ship: powers of two below
+    ``max_batch`` plus ``max_batch`` itself (which need not be a power of
+    two — a full batch always packs to exactly batch_clips). Partial batches
+    pack to the next of these (StreamingEngine._dispatch_worker), so these
+    are exactly the executable shapes to pre-compile."""
     caps, c = [], 1
-    while c <= max_batch:
+    while c < max_batch:
         caps.append(c)
         c *= 2
+    caps.append(max_batch)
     return tuple(caps)
 
 

@@ -26,6 +26,7 @@ def iter_video_file(path: str, loop: bool = False, max_frames: Optional[int] = N
     n = 0
     while True:
         cap = cv2.VideoCapture(path)
+        n_this_pass = 0
         try:
             while True:
                 ok, frame = cap.read()
@@ -33,10 +34,15 @@ def iter_video_file(path: str, loop: bool = False, max_frames: Optional[int] = N
                     break
                 yield frame
                 n += 1
+                n_this_pass += 1
                 if max_frames is not None and n >= max_frames:
                     return
         finally:
             cap.release()
+        if n_this_pass == 0:
+            # unreadable/empty source: with loop=True this would otherwise
+            # busy-spin reopening the capture forever
+            raise RuntimeError(f"no frames decodable from {path!r}")
         if not loop:
             return
 
