@@ -203,12 +203,15 @@ def summarize(rows: List[Dict], model_size: int) -> Dict:
         "fp": int(fp),
         "fn": int(fn),
         "confusion_matrix": cm.tolist(),
-        "mean_fps": float(np.nanmean([r["fps"] for r in rows])) if rows else float("nan"),
-        "mean_latency_ms_clip": float(
-            np.nanmean([r["latency_ms_clip_mean"] for r in rows])
-        )
-        if rows
-        else float("nan"),
+        # cold rows (first video of an unwarmed run) contain XLA compile
+        # time — exclude them from the throughput summary so --no_warmup
+        # runs don't report a contaminated mean (VERDICT r1 #10)
+        "mean_fps": float(np.nanmean(
+            [r["fps"] for r in rows if not r.get("cold_start")]
+        )) if any(not r.get("cold_start") for r in rows) else float("nan"),
+        "mean_latency_ms_clip": float(np.nanmean(
+            [r["latency_ms_clip_mean"] for r in rows if not r.get("cold_start")]
+        )) if any(not r.get("cold_start") for r in rows) else float("nan"),
         "model_size": model_size,
     }
 
@@ -218,7 +221,7 @@ PER_VIDEO_HEADER = [
     "video_score", "threshold",
     "frames_processed", "elapsed_s", "fps", "latency_ms_clip_mean",
     "num_tracks", "id_switch_rate_per_1k_frames",
-    "device_mem_peak_mb", "cpu_mem_peak_mb", "model_size",
+    "device_mem_peak_mb", "cpu_mem_peak_mb", "model_size", "cold_start",
 ]
 
 SUMMARY_HEADER = [
@@ -244,6 +247,7 @@ def write_csvs(rows: List[Dict], summary: Dict, out_dir: str, threshold: float) 
                 f"{r.get('device_mem_peak_mb', float('nan')):.1f}",
                 f"{r.get('cpu_mem_peak_mb', float('nan')):.1f}",
                 r.get("model_size", 0),
+                int(bool(r.get("cold_start"))),
             ])
     with open(os.path.join(out_dir, "summary.csv"), "w", newline="") as f:
         w = csv.writer(f)
@@ -311,11 +315,12 @@ def build_engine(args):
         scorer, detect_fn, cfg=cfg, crop_buffer=args.crop_buffer,
         start_conf=args.det_conf,
     )
-    if getattr(args, "warmup", True) and jax.devices()[0].platform != "cpu":
+    warmed = getattr(args, "warmup", True) and jax.devices()[0].platform != "cpu"
+    if warmed:
         # pre-compile every batch capacity so the first video's fps is not
         # an XLA compile measurement
         engine.warmup()
-    return engine
+    return engine, warmed
 
 
 def main(argv=None):
@@ -354,7 +359,7 @@ def main(argv=None):
     else:
         ap.error("need --video_root or --video_list")
 
-    engine = build_engine(args)
+    engine, warmed = build_engine(args)
     model_size = os.path.getsize(args.ckpt) if args.ckpt else 0
 
     rows = []
@@ -363,6 +368,9 @@ def main(argv=None):
         res.update(
             gt_label=gt, dataset=dset, subset=subset,
             device_mem_peak_mb=device_mem_peak_mb(), model_size=model_size,
+            # without warmup the first video's timings include the XLA
+            # compiles; flag the row so summaries/readers can exclude it
+            cold_start=(not warmed) and len(rows) == 0,
         )
         rows.append(res)
         print(

@@ -134,6 +134,7 @@ def warp_clip_bilinear(
     diffs: jnp.ndarray,       # [T, 2] (x, y) paste offsets of each crop in the canvas
     out_size: int,
     out_dtype=jnp.float32,
+    scales: Optional[jnp.ndarray] = None,   # [T] per-frame crop scale factors
 ) -> jnp.ndarray:
     """Fused paste-into-canvas + warpAffine for a whole clip.
 
@@ -141,7 +142,12 @@ def warp_clip_bilinear(
     (faster_crop_align_xray.py:77-89) but with no canvas materialization:
     each output pixel bilinearly samples crop ``t`` at ``A^{-1}p − d_t``,
     zero outside (cv2 BORDER_CONSTANT semantics).
-    """
+
+    ``scales``: when crop ``t`` is stored pre-scaled by a per-frame uniform
+    factor ``s_t`` (the device-ring streaming path packs each frame at its
+    own scale), pass the factors and keep ``tfm``/``diffs``/landmarks in
+    UNSCALED coordinates — the sample point is then ``s_t (A^{-1}p − d_t)``,
+    which is exact (a similarity absorbs a uniform scale)."""
     T, H, W, C = crops.shape
     S = out_size
     Minv = invert_affine_2x3(tfm)  # output px -> canvas coords
@@ -150,10 +156,12 @@ def warp_clip_bilinear(
     xs = jax.lax.broadcasted_iota(jnp.float32, (S, S), 1)
     src_x = Minv[0, 0] * xs + Minv[0, 1] * ys + Minv[0, 2]
     src_y = Minv[1, 0] * xs + Minv[1, 1] * ys + Minv[1, 2]
+    if scales is None:
+        scales = jnp.ones((T,), jnp.float32)
 
-    def warp_one(crop, d):
-        cx = src_x - d[0]
-        cy = src_y - d[1]
+    def warp_one(crop, d, s):
+        cx = (src_x - d[0]) * s
+        cy = (src_y - d[1]) * s
         x0 = jnp.floor(cx)
         y0 = jnp.floor(cy)
         wx = (cx - x0)[..., None]
@@ -175,7 +183,9 @@ def warp_clip_bilinear(
         )
         return out
 
-    out = jax.vmap(warp_one)(crops, diffs.astype(jnp.float32))
+    out = jax.vmap(warp_one)(
+        crops, diffs.astype(jnp.float32), scales.astype(jnp.float32)
+    )
     if out_dtype == jnp.uint8:
         out = jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
     else:
@@ -198,8 +208,13 @@ def align_clip(
     out_size: int = 224,
     lm68: Optional[jnp.ndarray] = None,   # [T, 68, 2] optional, crop-local
     template: Optional[jnp.ndarray] = None,
+    scales: Optional[jnp.ndarray] = None,  # [T] per-frame crop scale factors
 ):
     """Full FasterCropAlignXRay.__call__ equivalent, jittable.
+
+    With ``scales``, crops are stored pre-scaled per frame while
+    ``big_boxes``/``lm5`` stay in unscaled coordinates (see
+    :func:`warp_clip_bilinear`).
 
     Returns ``(aligned [T,S,S,C] float32, lm5_t, lm68_t or None, tfm 2x3)``.
     """
@@ -212,7 +227,7 @@ def align_clip(
     tgt = jnp.tile(tpl, (T, 1))
     tfm, trans = similarity_cv2(pts.reshape(-1, 2), tgt)
 
-    aligned = warp_clip_bilinear(crops, tfm, diffs, out_size)
+    aligned = warp_clip_bilinear(crops, tfm, diffs, out_size, scales=scales)
     lm5_t = transform_landmarks(pts, trans)
     lm68_t = None
     if lm68 is not None:

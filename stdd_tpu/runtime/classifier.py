@@ -41,6 +41,57 @@ def yuv420_to_rgb(planar):
     return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
 
 
+def clip_fit_drift(
+    boxes: np.ndarray,          # [B, T, 4] big boxes (same scale-space as lm5)
+    lm5: np.ndarray,            # [B, T, 5, 2] crop-local landmarks
+    out_size: int,
+    template: Optional[np.ndarray] = None,
+    scale: Optional[np.ndarray] = None,   # [B, T] per-frame crop scales
+) -> np.ndarray:
+    """Per-clip row-drift of the inverse similarity fit, host-side numpy —
+    the same envelope quantity the scorer's in-graph auto path checks
+    (``|m10|·S + 10``). The dispatch worker uses it to route each clip to
+    the Pallas warp (drift ≤ band) or the exact gather, so ONE tilted face
+    demotes one clip, not the whole batch (VERDICT r1 #5)."""
+    from ..ops.align import STD_POINTS_256
+
+    boxes = np.asarray(boxes, np.float64)
+    lm5 = np.asarray(lm5, np.float64)
+    B, T = boxes.shape[:2]
+    tpl = (
+        np.asarray(template, np.float64)
+        if template is not None
+        else STD_POINTS_256 * (out_size / 256.0)
+    )
+    tgt = np.tile(tpl, (T, 1))
+    drifts = np.zeros((B,), np.float32)
+    for b in range(B):
+        left_top = boxes[b, :, :2].min(axis=0)
+        diffs = boxes[b, :, :2] - left_top[None, :]
+        src = (lm5[b] + diffs[:, None, :]).reshape(-1, 2)
+        # 4-unknown nonreflective similarity (ops/align._solve_nonreflective);
+        # for face geometry the reflective candidate never wins, and drift is
+        # symmetric under reflection anyway
+        m = src.shape[0]
+        x, y = tgt[:, 0], tgt[:, 1]
+        X = np.zeros((2 * m, 4))
+        X[:m, 0], X[:m, 1], X[:m, 2] = x, y, 1.0
+        X[m:, 0], X[m:, 1], X[m:, 3] = y, -x, 1.0
+        U = np.concatenate([src[:, 0], src[:, 1]])
+        try:
+            r = np.linalg.solve(X.T @ X, X.T @ U)
+        except np.linalg.LinAlgError:
+            drifts[b] = np.inf
+            continue
+        # r = [sc, ss, tx, ty] parameterizes the dst→src map — exactly the
+        # matrix pack_warp_params ends up with (its Minv linear part is
+        # [[sc, ss], [-ss, sc]] in column convention), so |m10| = |ss|
+        m10 = abs(r[1])
+        s_max = 1.0 if scale is None else float(np.max(scale[b]))
+        drifts[b] = m10 * s_max * out_size + 10.0
+    return drifts
+
+
 class ClipScorer:
     """Batched scorer over per-track clip buffers.
 
@@ -102,21 +153,42 @@ class ClipScorer:
         self._score_feats = jax.jit(
             lambda c, b, l, v: self._score_impl(c, b, l, v, with_features=True)
         )
+        # jitted variants keyed on (path, scaled): 'pallas'/'gather' forced
+        # branches for host-side per-clip routing, plus per-frame-scale
+        # versions for the device-ring path
+        self._score_variants = {("auto", False): self._score}
 
-    def _align_batch(self, crops, boxes, lm5, valid):
+    def _align_batch(self, crops, boxes, lm5, valid, scale=None, path="auto"):
         """Batched clip-stable alignment. On TPU the warp runs as the Pallas
         band-matmul kernel (ops/warp_pallas.py, ~19x the XLA gather); the
         envelope covers |roll| ≲ 13 deg at band 64 — beyond that (or on CPU)
-        the exact gather path is used."""
+        the exact gather path is used.
+
+        ``scale`` [B, T]: per-frame uniform crop scales — crops are stored
+        pre-scaled while boxes/lm5 stay unscaled (the device-ring streaming
+        path). ``path``: 'auto' = in-graph envelope cond (whole batch);
+        'pallas'/'gather' = statically forced branch — the dispatch worker
+        routes each clip host-side (clip_fit_drift) so one tilted face costs
+        one clip in the gather sub-batch, not the whole batch."""
         S = self.cfg.crop_size
         if not self.use_pallas_warp:
-            def align_one(c, b, l):
-                a, _, _, _ = align_clip(c, b, l, out_size=S, template=self._template)
+            path = "gather"
+        B, T = crops.shape[:2]
+
+        def gather_branch(crops, boxes, lm5, params):
+            sc = scale if scale is not None else jnp.ones((B, T), jnp.float32)
+
+            def align_one(c, b, l, s):
+                a, _, _, _ = align_clip(
+                    c, b, l, out_size=S, template=self._template, scales=s
+                )
                 return a
 
-            return jax.vmap(align_one)(crops, boxes, lm5)
+            return jax.vmap(align_one)(crops, boxes, lm5, sc)
 
-        B, T = crops.shape[:2]
+        if path == "gather":
+            return gather_branch(crops, boxes, lm5, None)
+
         tgt = jnp.tile(self._template, (T, 1))
 
         def solve_one(b, l):
@@ -127,6 +199,10 @@ class ClipScorer:
             return pack_warp_params(tfm, diffs)
 
         params = jax.vmap(solve_one)(boxes, lm5)           # [B, T, 8]
+        if scale is not None:
+            # sample point in the pre-scaled crop is s_t·(A⁻¹p − d_t): fold
+            # the per-frame factor into the packed dst→src affine
+            params = params * scale[..., None]
 
         def pallas_branch(crops, boxes, lm5, params):
             flat = warp_clip_pallas(
@@ -137,12 +213,8 @@ class ClipScorer:
             )
             return flat.reshape((B, T, S, S, 3))
 
-        def gather_branch(crops, boxes, lm5, params):
-            def align_one(c, b, l):
-                a, _, _, _ = align_clip(c, b, l, out_size=S, template=self._template)
-                return a
-
-            return jax.vmap(align_one)(crops, boxes, lm5)
+        if path == "pallas":
+            return pallas_branch(crops, boxes, lm5, params)
 
         # rotation envelope (warp_pallas.rotation_fits_band, in-graph): the
         # band covers |m10|·S + ~10 rows of drift; beyond that fall back to
@@ -175,8 +247,27 @@ class ClipScorer:
         variables = jax.tree.map(jnp.asarray, variables)
         return cls(variables, cfg=cfg, **kw)
 
+    def _score_fn(self, path: str = "auto", scaled: bool = False):
+        """Cached jitted scorer for a statically-forced warp path, optionally
+        taking a per-frame ``scale [B, T]`` argument (device-ring windows)."""
+        key = (path, scaled)
+        fn = self._score_variants.get(key)
+        if fn is None:
+            if scaled:
+                fn = jax.jit(
+                    lambda c, b, l, v, s: self._score_impl(
+                        c, b, l, v, scale=s, path=path
+                    )
+                )
+            else:
+                fn = jax.jit(
+                    lambda c, b, l, v: self._score_impl(c, b, l, v, path=path)
+                )
+            self._score_variants[key] = fn
+        return fn
+
     def _score_impl(self, crops, boxes, lm5, valid, with_features: bool = False,
-                    variables=None):
+                    variables=None, scale=None, path: str = "auto"):
         S = self.cfg.crop_size
         # loud format check: a facade that forgot to forward upload_format
         # (packing.upload_format_of) must fail here, not decode garbage
@@ -193,7 +284,8 @@ class ClipScorer:
                 f"{crops.shape}"
             )
         aligned = self._align_batch(
-            crops, boxes.astype(jnp.float32), lm5.astype(jnp.float32), valid
+            crops, boxes.astype(jnp.float32), lm5.astype(jnp.float32), valid,
+            scale=scale, path=path,
         )  # [B, T, S, S, 3] float32 (0..255)
         if self.round_aligned_u8:
             aligned = jnp.round(jnp.clip(aligned, 0, 255))
@@ -212,25 +304,38 @@ class ClipScorer:
         return probs
 
     def warmup(self, crop_buffer: int, batch_capacities=(1, 2, 4, 8),
-               clip_size: Optional[int] = None) -> None:
+               clip_size: Optional[int] = None, paths=None,
+               windows: bool = False) -> None:
         """Pre-compile the fused scorer for every batch capacity the engine
         can dispatch (power-of-2 partial batches), so serving never compiles
         in the hot path — first-clip latency through a cold process is
-        otherwise a full XLA compile. Blocks until all executables exist."""
+        otherwise a full XLA compile. Blocks until all executables exist.
+
+        ``paths``: which warp branches to warm; default = the branch the
+        dispatch worker's per-clip router will actually use ('pallas' when
+        the Pallas warp is on, else 'auto'). ``windows=True`` additionally
+        warms the device-ring ``score_windows`` variants."""
         T = clip_size or self.cfg.num_frames
         S = crop_buffer
-        for b in batch_capacities:
-            if self.upload_format == "yuv420":
-                crops = np.zeros((b, T, S * 3 // 2, S), np.uint8)
-            else:
-                crops = np.zeros((b, T, S, S, 3), np.uint8)
-            boxes = np.ones((b, T, 4), np.float32)
-            lm5 = np.ones((b, T, 5, 2), np.float32)
-            valid = np.zeros((b,), bool)
-            np.asarray(self._score(
-                jnp.asarray(crops), jnp.asarray(boxes),
-                jnp.asarray(lm5), jnp.asarray(valid),
-            ))
+        if paths is None:
+            paths = ("pallas",) if self.use_pallas_warp else ("auto",)
+        slot = (T, S * 3 // 2, S) if self.upload_format == "yuv420" else (T, S, S, 3)
+        for path in paths:
+            for b in batch_capacities:
+                crops = np.zeros((b,) + slot, np.uint8)
+                boxes = np.ones((b, T, 4), np.float32)
+                lm5 = np.ones((b, T, 5, 2), np.float32)
+                valid = np.zeros((b,), bool)
+                np.asarray(self._score_fn(path)(
+                    jnp.asarray(crops), jnp.asarray(boxes),
+                    jnp.asarray(lm5), jnp.asarray(valid),
+                ))
+                if windows:
+                    ws = [jnp.zeros(slot, jnp.uint8)] * b
+                    np.asarray(self.score_windows(
+                        ws, boxes, lm5, np.ones((b, T), np.float32), valid,
+                        path=path,
+                    ))
 
     def score(self, crops, boxes, lm5, valid) -> np.ndarray:
         out = self._score(
@@ -238,16 +343,43 @@ class ClipScorer:
         )
         return np.asarray(out)
 
-    def score_async(self, crops, boxes, lm5, valid):
+    def score_async(self, crops, boxes, lm5, valid, path: str = "auto"):
         """Dispatch without blocking: returns the device array immediately.
 
         JAX dispatch is asynchronous — the host thread returns while the
         TPU aligns+scores; materialize with ``np.asarray`` (or poll
         ``.is_ready()``). This is what lets the streaming engine overlap
         decode/track of the next frames with scoring of the previous batch.
+        ``path`` statically forces the warp branch ('pallas'/'gather') when
+        the caller has already routed the batch host-side (clip_fit_drift).
         """
-        return self._score(
+        return self._score_fn(path)(
             jnp.asarray(crops), jnp.asarray(boxes), jnp.asarray(lm5), jnp.asarray(valid)
+        )
+
+    def score_windows(self, windows, boxes, lm5, scale, valid, path: str = "auto"):
+        """Score a batch of device-resident ring windows asynchronously.
+
+        ``windows``: LIST of device arrays, each [T,S,S,3] uint8 RGB (or
+        planar I420 [T,S*3//2,S]) already living in HBM (DeviceRing.window
+        gathers); only ``boxes``/``lm5``/``scale``/``valid`` — kilobytes of
+        geometry — cross the host→device boundary at dispatch time.
+        Geometry is UNSCALED; the per-frame pack scale [B,T] is folded into
+        the warp (exact: a similarity absorbs a uniform scale). Returns the
+        device probs array immediately (materialize with np.asarray)."""
+        key = ("windows", len(windows), path)
+        fn = self._score_variants.get(key)
+        if fn is None:
+            fn = jax.jit(
+                lambda ws, b, l, v, s: self._score_impl(
+                    jnp.stack(ws), b, l, v, scale=s, path=path
+                )
+            )
+            self._score_variants[key] = fn
+        return fn(
+            list(windows), jnp.asarray(boxes, jnp.float32),
+            jnp.asarray(lm5, jnp.float32), jnp.asarray(valid),
+            jnp.asarray(scale, jnp.float32),
         )
 
     def _make_dense_fn(self, T: int):

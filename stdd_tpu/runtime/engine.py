@@ -70,6 +70,10 @@ class _PendingClip:
     owner: Any = None             # engine whose stream produced this clip
     owner_gen: int = 0            # owner's reset generation at enqueue time
     tick: int = 0                 # group step counter at enqueue (batch-wait age)
+    t_enq: float = 0.0            # perf_counter at enqueue (TEST2.py:316 latency)
+    # device-ring mode: (dev_window [T,...] u8 in HBM, boxes [T,4],
+    # lm5 [T,5,2], scale [T]) — entries stay metadata-only
+    window: Optional[tuple] = None
 
 
 class AsyncDetector:
@@ -120,15 +124,38 @@ class StreamingEngine:
         q_lap_soft: float = 60.0,
         q_weighting: bool = True,
         track_kwargs: Optional[dict] = None,
-        max_batch_wait_frames: Optional[int] = None,
+        max_batch_wait_frames="stride",
         min_det_area: float = 0.0,
         exclude_bottom_frac: float = 0.0,
         share_dispatch_from: Optional["StreamingEngine"] = None,
+        device_resident: Optional[bool] = None,
+        max_rings: int = 32,
     ):
         self.cfg = cfg or PipelineConfig()
         self.scorer = scorer
         self.detect_fn = detect_fn
         self.crop_buffer = crop_buffer
+        # fail fast on misconfiguration: yuv420 (I420) packing needs an even
+        # chroma plane, i.e. crop_buffer % 4 == 0 — otherwise the error would
+        # only fire on the dispatch worker, dropping a batch at a later step
+        from .packing import upload_format_of
+
+        if upload_format_of(scorer) == "yuv420" and crop_buffer % 4:
+            raise ValueError(
+                f"upload_format='yuv420' requires crop_buffer divisible by 4 "
+                f"(got {crop_buffer})"
+            )
+        # device-resident streaming: per-track HBM crop rings — each frame
+        # uploads once on arrival (~100 KB, pipelined) and a stride-tick
+        # window dispatch moves only geometry metadata (VERDICT r1 #2).
+        # Auto-on for accelerators; the host-packed path remains for CPU
+        # (where upload is free) and as an explicit fallback.
+        if device_resident is None:
+            import jax as _jax
+
+            device_resident = _jax.devices()[0].platform not in ("cpu",)
+        self.device_resident = bool(device_resident)
+        self.max_rings = max_rings
         self.start_conf = start_conf
         self.drop_after = drop_after
         self.q = dict(
@@ -144,8 +171,16 @@ class StreamingEngine:
         )
         # latency mode: dispatch a partially-filled batch after this many
         # frames rather than waiting for batch_clips windows (at the realtime
-        # stride a full batch can take minutes to fill on a 1-face call)
-        self.max_batch_wait_frames = max_batch_wait_frames
+        # stride a full batch can take minutes to fill on a 1-face call).
+        # Default "stride" = one stride's worth of steps, so even a bare
+        # 1-face engine has bounded latency out of the box; pass None
+        # explicitly for throughput mode (wait for a full batch).
+        if max_batch_wait_frames == "stride":
+            self.max_batch_wait_frames = self.cfg.stride
+            self._explicit_wait = False
+        else:
+            self.max_batch_wait_frames = max_batch_wait_frames
+            self._explicit_wait = True
         # extra detection filters (TEST2.py:516-529)
         self.min_det_area = min_det_area
         self.exclude_bottom_frac = exclude_bottom_frac
@@ -167,10 +202,16 @@ class StreamingEngine:
                     "shared-dispatch engines must agree on clip_size and "
                     "crop_buffer (batches are packed with the root's shapes)"
                 )
+            if root.device_resident != self.device_resident:
+                raise ValueError(
+                    "device_resident is group-level; batches can't mix "
+                    "ring windows with host-packed clips"
+                )
             # batching cadence is a GROUP property: the root's value governs
+            # (the "stride" default means "inherit from the root")
             if (
-                max_batch_wait_frames is not None
-                and max_batch_wait_frames != root.max_batch_wait_frames
+                self._explicit_wait
+                and self.max_batch_wait_frames != root.max_batch_wait_frames
             ):
                 raise ValueError(
                     "max_batch_wait_frames is group-level; set it on the "
@@ -180,8 +221,10 @@ class StreamingEngine:
 
     # group-level pipeline state lives on the root; secondaries delegate
     # reads so previously-public attributes keep working on server streams
+    # (_worker_error is deliberately PER-engine: a failed batch's error is
+    # routed to the streams that owned its clips, not to whoever harvests)
     _GROUP_ATTRS = frozenset(
-        ("pending", "inflight", "clip_latencies", "_worker_error",
+        ("pending", "inflight", "clip_latencies",
          "_tick", "_next_seq", "_next_harvest_seq",
          "_lock", "_state_lock", "_harvest_lock", "_dispatch_q", "_workers")
     )
@@ -208,7 +251,6 @@ class StreamingEngine:
             self._tick = 0
             # bounded: a never-reset serving root must not grow forever
             self.clip_latencies: Deque[float] = collections.deque(maxlen=10000)
-            self._worker_error: Optional[BaseException] = None
             # in-flight async device batches: (seq, clips, device_probs,
             # t_dispatch); harvested strictly in dispatch order (seq) so
             # per-track score sequences are deterministic even when the two
@@ -245,9 +287,17 @@ class StreamingEngine:
             with group._state_lock:
                 group.pending = [c for c in group.pending if c.owner is not self]
         self._gen = getattr(self, "_gen", 0) + 1
+        # per-engine: errors from batches this stream owned (see
+        # _dispatch_worker/_harvest_locked error routing)
+        self._worker_error: Optional[BaseException] = None
+        # guards _ready against a peer thread's harvest routing racing
+        # _take_ready's swap
+        if not hasattr(self, "_ready_lock"):
+            self._ready_lock = threading.Lock()
         self.tracker = ByteTracker(**self._track_kwargs)
         self.frame_idx = 0
         self.buffers: Dict[int, Deque[_FrameEntry]] = {}
+        self.rings: Dict[int, Any] = {}       # tid → DeviceRing (ring mode)
         self.lm5_offsets: Dict[int, np.ndarray] = {}
         self.since_emit: Dict[int, int] = collections.defaultdict(lambda: 10 ** 9)
         self.last_seen: Dict[int, int] = {}
@@ -264,12 +314,21 @@ class StreamingEngine:
         """Pre-compile the scorer for every batch capacity this engine's
         dispatch group can ship, so no clip ever waits on an XLA compile.
         Call once at serving startup (the CLIs do, gated to accelerators)."""
-        from .packing import pow2_capacities
+        from .packing import pow2_capacities, upload_format_of
 
         group = self._group
+        if group.device_resident:
+            from .ring import RingKernels
+
+            if not hasattr(group, "_ring_kernels"):
+                group._ring_kernels = RingKernels(
+                    R=group.cfg.clip_size, S=group.crop_buffer,
+                    yuv420=upload_format_of(group.scorer) == "yuv420",
+                )
+            group._ring_kernels.warmup(group.cfg.clip_size)
         group.scorer.warmup(
             group.crop_buffer, pow2_capacities(group.cfg.batch_clips),
-            group.cfg.clip_size,
+            group.cfg.clip_size, windows=group.device_resident,
         )
 
     # -- per-frame host path -------------------------------------------------
@@ -363,22 +422,38 @@ class StreamingEngine:
             if wq <= 0.0:
                 continue
 
-            lm5_local = lm5 - np.array([x1, y1], np.float32)
+            lm5_local = (lm5 - np.array([x1, y1], np.float32)).astype(np.float32)
             buf = self.buffers.setdefault(
                 tid, collections.deque(maxlen=self.cfg.clip_size)
             )
-            buf.append(_FrameEntry(crop, big_box, lm5_local.astype(np.float32), wq))
+            if self.device_resident:
+                ring = self.rings.get(tid)
+                if ring is None:
+                    ring = self.rings[tid] = self._new_ring()
+                # crop lands in HBM now (~100 KB, async); entries keep only
+                # the geometry so windows never re-upload pixels
+                ring.push(crop, big_box, lm5_local)
+                buf.append(_FrameEntry(None, big_box, lm5_local, wq))
+            else:
+                buf.append(_FrameEntry(crop, big_box, lm5_local, wq))
             self.since_emit[tid] += 1
 
             if (
                 len(buf) >= self.cfg.clip_size
                 and self.since_emit[tid] >= self.cfg.stride
             ):
+                import time
+
+                window = (
+                    self.rings[tid].window(self.cfg.clip_size)
+                    if self.device_resident else None
+                )
                 group = self._group
                 with group._state_lock:
                     group.pending.append(
                         _PendingClip(tid, list(buf), owner=self,
-                                     owner_gen=self._gen, tick=group._tick)
+                                     owner_gen=self._gen, tick=group._tick,
+                                     t_enq=time.perf_counter(), window=window)
                     )
                 self.since_emit[tid] = 0
 
@@ -399,11 +474,13 @@ class StreamingEngine:
             ):
                 group._dispatch()
         group._harvest(block=False)
+        self._raise_worker_error()
         results.extend(self._take_ready())
         return results
 
     def _take_ready(self) -> List[Tuple[int, float]]:
-        out, self._ready = self._ready, []
+        with self._ready_lock:
+            out, self._ready = self._ready, []
         return out
 
     def flush(self) -> List[Tuple[int, float]]:
@@ -419,6 +496,7 @@ class StreamingEngine:
                 group._dispatch()
             target = group._next_seq
         group._harvest_until(target)
+        self._raise_worker_error()
         return self._take_ready()
 
     def finish(self, threshold: Optional[float] = None, **agg_kwargs) -> VideoVerdict:
@@ -465,6 +543,25 @@ class StreamingEngine:
             return None
         return off + box[:2][None, :].astype(np.float32)
 
+    def _new_ring(self):
+        """Create a DeviceRing on the group's shared kernels, evicting the
+        least-recently-seen ring when over the HBM budget (max_rings ×
+        ~3-6 MB per ring)."""
+        from .packing import upload_format_of
+        from .ring import DeviceRing, RingKernels
+
+        group = self._group
+        if not hasattr(group, "_ring_kernels"):
+            group._ring_kernels = RingKernels(
+                R=group.cfg.clip_size, S=group.crop_buffer,
+                yuv420=upload_format_of(group.scorer) == "yuv420",
+            )
+        if len(self.rings) >= self.max_rings:
+            lru = min(self.rings, key=lambda t: self.last_seen.get(t, -1))
+            self.rings.pop(lru, None)
+            self.buffers.pop(lru, None)   # its window continuity is gone
+        return DeviceRing(group._ring_kernels)
+
     def _gc_tracks(self) -> None:
         dead = [
             tid
@@ -473,6 +570,7 @@ class StreamingEngine:
         ]
         for tid in dead:
             self.buffers.pop(tid, None)
+            self.rings.pop(tid, None)
             self.lm5_offsets.pop(tid, None)
             self.since_emit.pop(tid, None)
             self.last_seen.pop(tid, None)
@@ -497,45 +595,160 @@ class StreamingEngine:
             self._next_seq += 1
         self._dispatch_q.put((seq, batch, time.perf_counter()))
 
-    def _dispatch_worker(self) -> None:
-        from .packing import pack_clip_batch
+    def _pack_and_score(self, batch: List[_PendingClip], path: str = "auto"):
+        """Pack a (sub-)batch to the next power-of-2 capacity and dispatch it
+        asynchronously — a padded batch uploads its full fixed-shape buffer,
+        so shipping a 1-clip flush in an 8-slot buffer wastes 7/8 of the H2D
+        bytes (the streaming bottleneck). Capacities are powers of two so the
+        executable count stays at log2(batch_clips)+1 per path (jit caches
+        per shape). → (device probs, boxes, lm5)."""
+        from .packing import pack_clip_batch, pow2_capacities, upload_format_of
 
+        cap = next(
+            (c for c in pow2_capacities(self.cfg.batch_clips)
+             if c >= len(batch)),
+            self.cfg.batch_clips,
+        )
+        crops, boxes, lm5, valid = pack_clip_batch(
+            [c.entries for c in batch], cap,
+            self.cfg.clip_size, self.crop_buffer,
+            yuv420=upload_format_of(self.scorer) == "yuv420",
+        )
+        return self.scorer.score_async(crops, boxes, lm5, valid, path=path), boxes, lm5
+
+    def _batch_drift(self, batch: List[_PendingClip]) -> np.ndarray:
+        """Per-clip Pallas-band drift for a pending batch, computed from the
+        raw (unscaled) entries: the pack scale s = min(1, S/max_dim) scales
+        the fitted |m10| linearly, so it's applied via clip_fit_drift's
+        ``scale`` argument without packing first."""
+        from .classifier import clip_fit_drift
+
+        T = self.cfg.clip_size
+        S = self.crop_buffer
+        B = len(batch)
+        boxes = np.zeros((B, T, 4), np.float32)
+        lm5 = np.zeros((B, T, 5, 2), np.float32)
+        scales = np.ones((B, T), np.float32)
+        for bi, clip in enumerate(batch):
+            entries = list(clip.entries)
+            while len(entries) < T:
+                entries = entries + [entries[-1]]
+            max_dim = max(max(e.crop.shape[0], e.crop.shape[1]) for e in entries)
+            s = min(1.0, S / float(max_dim))
+            for ti, e in enumerate(entries[:T]):
+                boxes[bi, ti] = np.asarray(e.big_box, np.float32)
+                lm5[bi, ti] = np.asarray(e.lm5, np.float32)
+            scales[bi] = s
+        return clip_fit_drift(
+            boxes, lm5, self.scorer.cfg.crop_size,
+            template=np.asarray(self.scorer._template), scale=scales,
+        )
+
+    def _dispatch_windows(self, batch: List[_PendingClip]):
+        """Dispatch device-ring windows: pixels are already in HBM, so only
+        geometry (KBs) is uploaded. Per-clip Pallas/gather routing as in the
+        packed path; → dev array or [(indices, dev), ...] for mixed."""
+        from .classifier import clip_fit_drift
+        from .packing import pow2_capacities
+
+        T = self.cfg.clip_size
+        S_model = self.scorer.cfg.crop_size
+
+        def ship(sub_idx, path):
+            sub = [batch[i] for i in sub_idx]
+            cap = next(
+                (c for c in pow2_capacities(self.cfg.batch_clips)
+                 if c >= len(sub)),
+                self.cfg.batch_clips,
+            )
+            boxes = np.ones((cap, T, 4), np.float32)
+            lm5 = np.ones((cap, T, 5, 2), np.float32)
+            scale = np.ones((cap, T), np.float32)
+            valid = np.zeros((cap,), bool)
+            ws = []
+            for k, clip in enumerate(sub):
+                dev_w, b, l, s = clip.window
+                ws.append(dev_w)
+                boxes[k], lm5[k], scale[k] = b, l, s
+                valid[k] = True
+            if len(ws) < cap:
+                if not hasattr(self, "_zero_window"):
+                    import jax.numpy as jnp
+
+                    self._zero_window = jnp.zeros(
+                        (T,) + self._ring_kernels.slot_shape, jnp.uint8
+                    )
+                ws.extend([self._zero_window] * (cap - len(ws)))
+            return self.scorer.score_windows(ws, boxes, lm5, scale, valid, path=path)
+
+        all_idx = list(range(len(batch)))
+        if not getattr(self.scorer, "use_pallas_warp", False):
+            return ship(all_idx, "auto")
+        B = len(batch)
+        boxes = np.stack([c.window[1] for c in batch])
+        lm5 = np.stack([c.window[2] for c in batch])
+        scales = np.stack([c.window[3] for c in batch])
+        drift = clip_fit_drift(
+            boxes, lm5, S_model,
+            template=np.asarray(self.scorer._template), scale=scales,
+        )
+        band = self.scorer.warp_band
+        if (drift <= band).all():
+            return ship(all_idx, "pallas")
+        if (drift > band).all():
+            return ship(all_idx, "gather")
+        idx_p = [i for i in all_idx if drift[i] <= band]
+        idx_g = [i for i in all_idx if drift[i] > band]
+        return [(idx_p, ship(idx_p, "pallas")), (idx_g, ship(idx_g, "gather"))]
+
+    def _dispatch_worker(self) -> None:
         while True:
             item = self._dispatch_q.get()
+            batch: List[_PendingClip] = []
             try:
                 if item is None:
                     continue
                 seq, batch, t0 = item
-                from .packing import pow2_capacities, upload_format_of
-
-                # pack partial batches to the next power-of-2 capacity: a
-                # padded batch uploads its full fixed-shape buffer, so
-                # shipping a 1-clip flush in an 8-slot buffer wastes 7/8 of
-                # the H2D bytes (the streaming bottleneck). Capacities are
-                # powers of two so the executable count stays at
-                # log2(batch_clips)+1 (jit caches per shape).
-                cap = next(
-                    (c for c in pow2_capacities(self.cfg.batch_clips)
-                     if c >= len(batch)),
-                    self.cfg.batch_clips,
-                )
-                crops, boxes, lm5, valid = pack_clip_batch(
-                    [c.entries for c in batch], cap,
-                    self.cfg.clip_size, self.crop_buffer,
-                    yuv420=upload_format_of(self.scorer) == "yuv420",
-                )
-                dev = self.scorer.score_async(crops, boxes, lm5, valid)
+                if batch and batch[0].window is not None:
+                    dev = self._dispatch_windows(batch)
+                elif getattr(self.scorer, "use_pallas_warp", False):
+                    # per-clip warp routing: probe each clip's similarity fit
+                    # with a cheap host-side solve (on the raw entries — the
+                    # pack scale multiplies the drift linearly), then ship
+                    # out-of-envelope clips in their OWN gather-path
+                    # sub-batch so one tilted face demotes one clip, never
+                    # the whole batch (the 19x cliff, VERDICT r1 #5)
+                    drift = self._batch_drift(batch)
+                    band = self.scorer.warp_band
+                    if (drift <= band).all():
+                        dev, _, _ = self._pack_and_score(batch, path="pallas")
+                    elif (drift > band).all():
+                        dev, _, _ = self._pack_and_score(batch, path="gather")
+                    else:
+                        idx_p = [i for i, d in enumerate(drift) if d <= band]
+                        idx_g = [i for i, d in enumerate(drift) if d > band]
+                        dev_p, _, _ = self._pack_and_score(
+                            [batch[i] for i in idx_p], path="pallas")
+                        dev_g, _, _ = self._pack_and_score(
+                            [batch[i] for i in idx_g], path="gather")
+                        dev = [(idx_p, dev_p), (idx_g, dev_g)]
+                else:
+                    dev, _, _ = self._pack_and_score(batch, path="auto")
                 with self._lock:
                     self.inflight.append((seq, batch, dev, t0))
             except Exception as exc:
                 # a dead worker would deadlock every later _dispatch_q.join();
                 # keep the thread alive, drop the batch (a None sentinel so
                 # the FIFO harvest cursor still advances), and surface the
-                # error to the engine's caller at the next step()/finish()
+                # error ONLY to the streams whose clips were in the failed
+                # batch — a peer call's step() must not crash on an
+                # unrelated stream's upload failure
                 import traceback
 
                 traceback.print_exc()
-                self._worker_error = exc
+                owners = {c.owner or self for c in batch} or {self}
+                for owner in owners:
+                    owner._worker_error = exc
                 if item is not None:
                     with self._lock:
                         self.inflight.append((item[0], [], None, item[2]))
@@ -568,14 +781,17 @@ class StreamingEngine:
     def _harvest_until(self, target_seq: int) -> None:
         """Blocking harvest of every batch dispatched before ``target_seq``
         (exclusive). Unlike a queue join, this cannot be extended by peers
-        dispatching new work while we wait."""
+        dispatching new work while we wait. The target check happens under
+        ``_harvest_lock``: the cursor only advances after a batch's scores
+        are fully routed, so once the target is observed every score up to
+        it has landed in its owner's _ready/track_clip_scores."""
         import time
 
         while True:
-            self._raise_worker_error()
             with self._harvest_lock:
                 self._harvest_locked(block=True)
-            if self._next_harvest_seq >= target_seq:
+                done = self._next_harvest_seq >= target_seq
+            if done:
                 return
             time.sleep(0.002)   # head batch is still packing on a worker
 
@@ -601,39 +817,54 @@ class StreamingEngine:
                     self.inflight.remove(entry)
                 self._next_harvest_seq += 1
                 continue
+            # a routed mixed batch carries a list of (indices, dev) sub-
+            # batches (per-clip Pallas/gather routing); normalize to a list
+            parts = dev if isinstance(dev, list) else [(range(len(batch)), dev)]
             if not block and len(entries) <= 2:
                 try:
-                    if not bool(dev.is_ready()):
+                    if not all(bool(d.is_ready()) for _, d in parts):
                         break
                 except AttributeError:
                     pass
             try:
-                probs = np.asarray(dev)
+                probs = np.zeros((len(batch),), np.float32)
+                for idx, d in parts:
+                    sub = np.asarray(d)
+                    for k, bi in enumerate(idx):
+                        probs[bi] = sub[k]
             except Exception as exc:
                 # a device-side failure must not wedge the FIFO: drop the
-                # batch, advance the cursor, surface the error to the caller
+                # batch, advance the cursor, and surface the error to the
+                # streams that owned the batch's clips (raised at their next
+                # step()/flush()), not to whoever happens to harvest
                 with self._lock:
                     if entry in self.inflight:
                         self.inflight.remove(entry)
+                for owner in {c.owner or self for c in batch} or {self}:
+                    owner._worker_error = exc
                 self._next_harvest_seq += 1
-                raise RuntimeError(
-                    "device scoring failed; the batch was dropped"
-                ) from exc
-            self.clip_latencies.append(time.perf_counter() - t0)
+                continue
+            now = time.perf_counter()
             with self._lock:
                 try:
                     self.inflight.remove(entry)
                 except ValueError:
                     continue
-            self._next_harvest_seq += 1
             for bi, clip in enumerate(batch):
+                # per-clip enqueue→scored latency, the reference's
+                # clip_enqueue_t/clip_infer_t accounting (TEST2.py:316,440)
+                self.clip_latencies.append(now - (clip.t_enq or t0))
                 owner = clip.owner or self
                 if owner._gen != clip.owner_gen:
                     continue  # owner's stream was reset; stale score
                 p = float(probs[bi])
                 owner.track_clip_scores[clip.tid].append(p)
                 owner.hysteresis.update(clip.tid, p)
-                owner._ready.append((clip.tid, p))
+                with owner._ready_lock:
+                    owner._ready.append((clip.tid, p))
+            # advance the cursor only AFTER routing: _harvest_until's target
+            # check (under _harvest_lock) must imply the scores have landed
+            self._next_harvest_seq += 1
 
 def _iou_one_to_many(box: np.ndarray, boxes: np.ndarray) -> np.ndarray:
     x1 = np.maximum(box[0], boxes[:, 0])

@@ -100,9 +100,10 @@ class MultiStreamServer:
 
     def finish(self, stream_id: int, **agg_kwargs) -> VideoVerdict:
         """End a call: flush, aggregate its verdict, remove the stream.
-        The stream is only removed on success — if a (possibly unrelated)
-        worker error surfaces during the flush, the stream and its
-        accumulated scores survive and ``finish`` can be retried."""
+        The stream is only removed on success — if a worker error for one
+        of this stream's own batches surfaces during the flush (errors are
+        routed to the owning stream), the stream and its accumulated scores
+        survive and ``finish`` can be retried."""
         eng = self.streams[stream_id]
         verdict = eng.finish(**agg_kwargs)
         del self.streams[stream_id]

@@ -29,9 +29,12 @@ def _collect_standalone(scorer, n_steps, frame):
 
 
 def test_two_streams_match_standalone_scores():
-    """Batches mix clips from both calls; every per-clip score must equal
-    the score the same stream gets when served alone (scoring is per-clip
-    deterministic — batch composition is irrelevant)."""
+    """Batches mix clips from both calls; every per-clip score must match
+    the score the same stream gets when served alone. Tolerance is loose-ish
+    (1e-4): with the bounded-latency default the standalone run may ship
+    B=1 partial batches where the server fills B=2, and different batch
+    capacities are different XLA executables with different fusion
+    rounding (~1e-6 drift)."""
     scorer = ClipScorer.random_init(cfg=SMALL_CFG, dtype=jnp.float32)
     frame = _frame()
     solo = _collect_standalone(scorer, 30, frame)
@@ -51,7 +54,10 @@ def test_two_streams_match_standalone_scores():
         per_track = {}
         for tid, p in got[sid]:
             per_track.setdefault(tid, []).append(p)
-        assert per_track == pytest.approx(solo), (sid, per_track, solo)
+        assert set(per_track) == set(solo), (sid, per_track, solo)
+        for tid in solo:
+            assert per_track[tid] == pytest.approx(solo[tid], abs=1e-4), (
+                sid, tid, per_track[tid], solo[tid])
 
 
 def test_finish_one_stream_keeps_peer_alive():
