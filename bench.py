@@ -83,7 +83,10 @@ def bench_engine():
         scorer, AsyncDetector(detect_fn), cfg=pipe,
         crop_buffer=256 if on_tpu else 128,
         q_weighting=False, q_lap_hard=0.0,
-        max_batch_wait_frames=pipe.stride if on_tpu else None,
+        # TPU: default wait (0 in device-ring mode — window dispatches move
+        # only geometry, so partials ship immediately and a lone face never
+        # waits a stride for a peer window). CPU: throughput mode.
+        **({} if on_tpu else {"max_batch_wait_frames": None}),
     )
     rng = np.random.RandomState(0)
     frame = rng.randint(0, 255, frame_hw + (3,), np.uint8)

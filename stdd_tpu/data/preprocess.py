@@ -291,3 +291,93 @@ def process_tree(
             w.writeheader()
             w.writerows(logs)
     return logs
+
+
+def main(argv=None):
+    """Dataset-production CLI (the reference's ``preprocessing_parallel.py``
+    entry point): videos → per-track clips with images/landmarks/AUs.
+
+    ``--landmarker dense`` (default) wires the packaged dense FaceMesh-
+    topology landmarker (``models/facemesh.DenseLandmarker.pretrained``) so
+    the dualrun LMK-feature path runs end to end; pass a ``.pkl`` path for a
+    custom checkpoint or ``none`` to skip landmarks. ``--features`` converts
+    the written tree to lmk/au feature files in the same run
+    (make_{lmk,au}_features.py + compute_norm_stat.py equivalents).
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser(description="videos → face-clip dataset")
+    ap.add_argument("--video_root", required=True)
+    ap.add_argument("--out_dir", required=True)
+    ap.add_argument("--max_frames", type=int, default=None)
+    ap.add_argument("--clip_length", type=int, default=CLIP_LENGTH)
+    ap.add_argument("--clip_step", type=int, default=CLIP_STEP)
+    ap.add_argument("--au_ckpt", default=None,
+                    help="LibreFace AU ResNet-18 torch checkpoint; 'random' "
+                         "for random init; omit to skip AU extraction")
+    ap.add_argument("--landmarker", default="dense",
+                    help="'dense' (packaged checkpoint), 'none', or a .pkl path")
+    ap.add_argument("--yunet_model", default=None)
+    ap.add_argument("--det_conf", type=float, default=0.6)
+    ap.add_argument("--det_size", type=int, default=320)
+    ap.add_argument("--features", action="store_true",
+                    help="also convert the tree to lmk/au features + norm stats")
+    args = ap.parse_args(argv)
+
+    from ..models.yunet import YuNetTPU
+
+    detector = YuNetTPU(model_path=args.yunet_model, conf_threshold=args.det_conf)
+
+    def detect_fn(frame_bgr):
+        # fixed-size detection (one XLA executable) scaled back to the frame
+        import cv2
+
+        H, W = frame_bgr.shape[:2]
+        resized = cv2.resize(frame_bgr, (args.det_size, args.det_size))
+        rows = detector.detect_np(resized)
+        if rows.size:
+            rows = rows.copy()
+            rows[:, 0:14:2] *= W / args.det_size
+            rows[:, 1:14:2] *= H / args.det_size
+        return rows
+
+    au = None
+    if args.au_ckpt == "random":
+        from ..models.au_resnet import AUExtractor
+
+        au = AUExtractor.random_init()
+    elif args.au_ckpt:
+        from ..models.au_resnet import AUExtractor
+
+        au = AUExtractor.from_torch_checkpoint(args.au_ckpt)
+
+    lm = None
+    if args.landmarker == "dense":
+        from ..models.facemesh import DenseLandmarker
+
+        lm = DenseLandmarker.pretrained()
+    elif args.landmarker not in (None, "none"):
+        from ..models.facemesh import DenseLandmarker
+
+        lm = DenseLandmarker.from_checkpoint(args.landmarker)
+
+    pipe = PreprocessPipeline(
+        detect_fn, au_extractor=au, landmarker=lm,
+        clip_length=args.clip_length, clip_step=args.clip_step,
+    )
+    logs = process_tree(pipe, args.video_root, args.out_dir,
+                        max_frames=args.max_frames)
+    print(f"processed {len(logs)} videos, "
+          f"{sum(l.get('clips', 0) for l in logs)} clips → {args.out_dir}")
+
+    if args.features:
+        from .features import compute_norm_stats, process_clip_tree
+
+        stats = process_clip_tree(args.out_dir)
+        out = compute_norm_stats(args.out_dir,
+                                 os.path.join(args.out_dir, "norm_stats.npz"))
+        print(f"features: {stats}; norm stats → {out}")
+
+
+if __name__ == "__main__":
+    main()

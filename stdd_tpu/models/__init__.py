@@ -67,6 +67,23 @@ def _build_resunet_light(cfg=None, **kw):
     return ResUNet3D(cfg=cfg or _I3DConfig(), light=True, **kw)
 
 
+def _register_resunet_variants():
+    # the remaining reference variants (LightFix :1578, Continus :1812,
+    # Common :2046, Common2 :2280, Strong :2513) — switch table in
+    # unet3d.RESUNET_VARIANTS
+    for _name in ("lightfix", "continus", "common", "common2", "strong"):
+        def _build(cfg=None, _n=_name, **kw):
+            from .unet3d import make_resunet
+
+            return make_resunet(_n, cfg=cfg, **kw)
+
+        _build.__doc__ = f"Reference ResUNet{_name.capitalize()} variant."
+        register_model(f"resunet_{_name}")(_build)
+
+
+_register_resunet_variants()
+
+
 @register_model("videoit")
 def _build_videoit(**kw):
     """Per-patch time transformer (reference time_transformer.py:167)."""

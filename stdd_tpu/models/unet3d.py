@@ -18,12 +18,19 @@ one design) with decoder blocks from ``slowfast/models/unet_helper.py:6,:46``:
 TPU-native notes: channels-last [B,T,H,W,C]; upsampling is
 nearest-neighbour via static reshape/broadcast (XLA fuses it; the
 reference's F.interpolate default is nearest too); the light variants' single
-conv decoder (LightDecoderBlock, unet_helper.py:74) is the ``light=True``
-switch.
+conv decoder (LightDecoderBlock, unet_helper.py:74) is the ``light``
+decoder kind.
+
+The 7 reference variants differ only in a handful of switches — decoder
+block kind and widths, mask-head stack, class-head shape/sigmoid, input
+detach, and the label list. :data:`RESUNET_VARIANTS` tabulates each variant's
+switches (with the reference line numbers) and :func:`make_resunet` builds
+any of them; ``tests/test_unet3d.py`` runs a forward-shape test per variant.
 """
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -31,7 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import I3DConfig
-from .i3d import STAGE_DEPTH, ResStage, VideoStem
+from .i3d import STAGE_DEPTH, ResBlock, ResStage, VideoStem
 
 Dtype = Any
 
@@ -73,38 +80,122 @@ class Conv3dReLU(nn.Module):
 
 
 class DecoderBlock(nn.Module):
-    """Two (or one, light) fused conv-BN-ReLU blocks on the concatenated
-    skip (reference unet_helper.py:46 DecoderBlock / :74 LightDecoderBlock)."""
+    """Decoder block on the concatenated skip. ``kind``:
+
+    - ``"heavy"`` — two conv-BN-ReLU blocks (unet_helper.py:46 DecoderBlock)
+    - ``"light"`` — one conv-BN-ReLU block (unet_helper.py:74 LightDecoderBlock)
+    - ``"res"`` — two bottleneck residual blocks with inner width
+      ``features // 2`` (unet_helper.py:119 ResDecoderBlock)
+    """
 
     features: int
-    light: bool = False
+    kind: str = "heavy"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.kind == "res":
+            common = dict(
+                dim_out=self.features, dim_inner=self.features // 2,
+                temp_kernel_size=3, stride=1, zero_init_final_bn=False,
+                bn_eps=1e-5, bn_momentum=0.9, axis_name=None,
+                dtype=self.dtype,
+            )
+            x = ResBlock(dim_in=x.shape[-1], name="conv1", **common)(x, train)
+            x = ResBlock(dim_in=self.features, name="conv2", **common)(x, train)
+            return x
         x = Conv3dReLU(self.features, dtype=self.dtype, name="conv1")(x, train)
-        if not self.light:
+        if self.kind == "heavy":
             x = Conv3dReLU(self.features, dtype=self.dtype, name="conv2")(x, train)
         return x
 
 
-class ResUNet3D(nn.Module):
-    """I3D encoder + per-label UNet decoders → per-pixel manipulation masks
-    and a scalar verdict (reference ResUNet, video_model_builder.py:1128).
+class MaskHead(nn.Module):
+    """Per-label 1×1×1 mask head. ``hidden=0`` → single conv (+ sigmoid in
+    the caller); ``hidden>0`` → conv→BN→ReLU→conv (the LightFix/Strong MLP
+    head, video_model_builder.py:1735/2531)."""
 
-    Input ``[B, T, H, W, 3]`` → ``(masks [B, T, H/4, W/4, n_labels],
-    verdict [B, 1])``.
-    """
-
-    cfg: I3DConfig
-    labels: Tuple[str, ...] = ("rotate", "light")
-    light: bool = False
-    axis_name: Optional[str] = None
+    hidden: int = 0
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.hidden:
+            x = nn.Conv(self.hidden, (1, 1, 1), dtype=self.dtype, name="conv1")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32, name="bn")(x)
+            x = nn.relu(x)
+            return nn.Conv(1, (1, 1, 1), dtype=self.dtype, name="conv2")(x)
+        return nn.Conv(1, (1, 1, 1), dtype=self.dtype, name="conv1")(x)
+
+
+@dataclasses.dataclass(frozen=True)
+class ResUNetVariant:
+    """One reference variant's switches (video_model_builder.py line refs in
+    RESUNET_VARIANTS)."""
+
+    labels: Tuple[str, ...]
+    decoder: str            # DecoderBlock.kind
+    t4_features: int        # decoder widths as width_per_group multiples ×64
+    t3_features: int
+    head_hidden: int        # MaskHead.hidden (0 = plain conv+sigmoid head)
+    class_features: int     # Linear out features
+    class_sigmoid: bool
+    class_per_label: bool   # reshape (B, n_labels, -1) instead of (B, -1)
+    detach_input: bool      # stop_gradient on the input (Common/Common2/Strong)
+
+
+# The 7 reference ResUNet variants. Widths assume width_per_group=64.
+RESUNET_VARIANTS = {
+    # video_model_builder.py:1128 — heavy decoder, σ-in-head, no freeze arg
+    "resunet": ResUNetVariant(("rotate", "light"), "heavy", 512, 256,
+                              0, 1, True, False, False),
+    # :1349 — light decoder
+    "light": ResUNetVariant(("rotate", "light"), "light", 256, 128,
+                            0, 1, True, False, False),
+    # :1578 — 3 labels, MLP mask head, σ applied in forward
+    "lightfix": ResUNetVariant(("rotate", "light", "skip"), "light", 256, 128,
+                               64, 1, True, False, False),
+    # :1812 — single fused label
+    "continus": ResUNetVariant(("all",), "light", 256, 128,
+                               64, 1, True, False, False),
+    # :2046 — cfg labels, Linear(1,2) logits per label, input detached
+    "common": ResUNetVariant(("rotate", "light", "skip"), "light", 256, 128,
+                             64, 2, False, True, True),
+    # :2280 — Linear(1,1) + σ per label
+    "common2": ResUNetVariant(("rotate", "light", "skip"), "light", 256, 128,
+                              64, 1, True, True, True),
+    # :2513 — residual decoder, wider MLP head
+    "strong": ResUNetVariant(("rotate", "light", "skip"), "res", 512, 256,
+                             128, 1, True, True, True),
+}
+
+
+class ResUNet3D(nn.Module):
+    """I3D encoder + per-label UNet decoders → per-pixel manipulation masks
+    and a scalar verdict (reference ResUNet family,
+    video_model_builder.py:1128-2742; see :data:`RESUNET_VARIANTS`).
+
+    Input ``[B, T, H, W, 3]`` → ``(masks [B, T, H/4, W/4, n_labels],
+    verdict)``. ``freeze_backbone=True`` stops gradients at the encoder
+    outputs (the reference's ``get_detach_var``, :1546-1551). ``labels``
+    overrides the variant's label list (reference ``cfg.RESNET.LABELS``).
+    Decoder/head widths scale with ``width_per_group / 64`` so small test
+    configs keep the reference's channel ratios.
+    """
+
+    cfg: I3DConfig
+    variant: ResUNetVariant = RESUNET_VARIANTS["resunet"]
+    labels: Optional[Tuple[str, ...]] = None
+    light: bool = False     # back-compat sugar for variant="light"
+    axis_name: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, freeze_backbone: bool = False):
         c = self.cfg
+        var = RESUNET_VARIANTS["light"] if self.light else self.variant
+        labels = self.labels or var.labels
         depths = STAGE_DEPTH[c.depth]
         w = c.width_per_group
         dim_inner = c.num_groups * w
@@ -114,6 +205,10 @@ class ResUNet3D(nn.Module):
         )
 
         x = x.astype(self.dtype)
+        if var.detach_input:
+            # reference Common/Common2/Strong detach the input tensor
+            # (video_model_builder.py:2240)
+            x = jax.lax.stop_gradient(x)
         # encoder: s1..s4 only (s5 removed in every reference variant,
         # video_model_builder.py:1263-1281); NO pathway pool between s2/s3 so
         # skips stay at the stem's spatial grid (ResUNet.forward :1320-1324)
@@ -141,27 +236,49 @@ class ResUNet3D(nn.Module):
             stride=c.spatial_strides[2], name="s4", **common,
         )(x3, train)
 
+        if freeze_backbone:
+            x1, x2, x3, x4 = map(jax.lax.stop_gradient, (x1, x2, x3, x4))
+
         # shared trunk of the decoder input: upsample(s4) ⊕ s3
         up4 = jnp.concatenate([x3, upsample_nearest(x4)], axis=-1)
 
+        scale = max(w // 64, 1) if w >= 64 else w / 64.0
+        t4_f = max(int(var.t4_features * scale), 8)
+        t3_f = max(int(var.t3_features * scale), 8)
         masks = []
-        for label in self.labels:  # dual_define deep-copies per label (:1295)
-            h = DecoderBlock(w * 8, light=self.light, dtype=self.dtype,
+        for label in labels:  # dual_define deep-copies per label (:1295)
+            h = DecoderBlock(t4_f, kind=var.decoder, dtype=self.dtype,
                              name=f"t4_{label}")(up4, train)
             h = jnp.concatenate([x2, upsample_nearest(h)], axis=-1)
-            h = DecoderBlock(256, light=self.light, dtype=self.dtype,
+            h = DecoderBlock(t3_f, kind=var.decoder, dtype=self.dtype,
                              name=f"t3_{label}")(h, train)
             h = jnp.concatenate([x1, h], axis=-1)
-            m = nn.Conv(1, (1, 1, 1), dtype=self.dtype,
-                        name=f"conv1x1_{label}")(h)
+            hidden = max(int(var.head_hidden * scale), 8) if var.head_hidden else 0
+            m = MaskHead(hidden=hidden, dtype=self.dtype,
+                         name=f"conv1x1_{label}")(h, train)
+            # every variant sigmoids the masks — in the head (ResUNet/Light)
+            # or on the concatenated output (:1787, :2022, :2256) — the
+            # elementwise σ commutes with concat, so one place serves all
             masks.append(nn.sigmoid(m.astype(jnp.float32)))
         masks = jnp.concatenate(masks, axis=-1)   # [B,T,H/4,W/4,n_labels]
 
-        # verdict: spatial mean ×100 → Linear(1,1) → sigmoid (:1331-1334)
+        # verdict: spatial mean ×100 → Linear (:1331-1334); Common-family
+        # reshapes per label (:2258-2260) instead of flattening
         pooled = jnp.mean(masks, axis=(2, 3)).reshape(-1, 1) * 100.0
-        out = nn.sigmoid(nn.Dense(1, name="linear")(pooled))
-        out = out.reshape(masks.shape[0], -1)
+        out = nn.Dense(var.class_features, name="linear")(pooled)
+        if var.class_per_label:
+            out = out.reshape(masks.shape[0], len(labels), -1)
+        else:
+            out = out.reshape(masks.shape[0], -1)
+        if var.class_sigmoid:
+            out = nn.sigmoid(out)
         return masks, out
+
+
+def make_resunet(name: str, cfg: Optional[I3DConfig] = None,
+                 **kw) -> ResUNet3D:
+    """Build one of the 7 reference variants by name (RESUNET_VARIANTS)."""
+    return ResUNet3D(cfg=cfg or I3DConfig(), variant=RESUNET_VARIANTS[name], **kw)
 
 
 def freeze_mask_by_prefix(params, freeze_prefixes: Sequence[str]):

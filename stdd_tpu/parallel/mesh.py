@@ -84,3 +84,55 @@ def make_sharded_score_fn(scorer, mesh: Mesh, data_axis: str = "data"):
         return np.asarray(fn(scorer.variables, crops, boxes, lm5, np.asarray(valid)))
 
     return score
+
+
+# -- multi-host (DCN) helpers -------------------------------------------------
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> tuple:
+    """Join a multi-host JAX job (the reference's ``init_process_group`` +
+    ``torch.distributed.launch`` equivalent, slowfast/utils/distributed.py:77
+    / utils/multiprocessing.py:12). On TPU pods the three arguments
+    auto-detect from the pod metadata; on CPU/GPU pass them explicitly.
+    Returns ``(process_index, process_count)``. Idempotent-safe to call on a
+    single-process job with no arguments only when a coordinator is set; the
+    CLIs gate it behind ``--distributed``."""
+    kw = {}
+    if coordinator is not None:
+        kw["coordinator_address"] = coordinator
+    if num_processes is not None:
+        kw["num_processes"] = num_processes
+    if process_id is not None:
+        kw["process_id"] = process_id
+    jax.distributed.initialize(**kw)
+    return jax.process_index(), jax.process_count()
+
+
+def process_shard(items: Sequence, process_index: Optional[int] = None,
+                  process_count: Optional[int] = None) -> list:
+    """Deterministic per-host shard of a work list: item ``i`` belongs to
+    host ``i % process_count`` (the reference's DistributedSampler
+    partitioning — every host sees a disjoint, near-equal subset; union of
+    all shards = the full list). Call AFTER any global shuffle so every
+    host shuffles identically (same seed) and THEN takes its stripe."""
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    if not (0 <= pi < pc):
+        raise ValueError(f"process_index {pi} out of range for count {pc}")
+    return list(items[pi::pc])
+
+
+def global_batch_from_local(mesh: Mesh, local_batch,
+                            data_axis: str = "data"):
+    """Assemble a globally-sharded array from each host's LOCAL batch shard
+    (multi-host GSPMD input path: every process feeds only the rows its own
+    devices hold; jax.make_array_from_process_local_data stitches the global
+    view). On a single-process mesh this is exactly ``shard_batch``."""
+    s = NamedSharding(mesh, P(data_axis))
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, s), local_batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)),
+        local_batch,
+    )

@@ -174,9 +174,13 @@ class StreamingEngine:
         # stride a full batch can take minutes to fill on a 1-face call).
         # Default "stride" = one stride's worth of steps, so even a bare
         # 1-face engine has bounded latency out of the box; pass None
-        # explicitly for throughput mode (wait for a full batch).
+        # explicitly for throughput mode (wait for a full batch). In
+        # device-ring mode the default is 0 (ship partials immediately):
+        # a window dispatch moves only kilobytes of geometry, so batching
+        # buys nothing — and co-tracked faces emit their windows in the SAME
+        # step, which still batches them before the end-of-step dispatch.
         if max_batch_wait_frames == "stride":
-            self.max_batch_wait_frames = self.cfg.stride
+            self.max_batch_wait_frames = 0 if self.device_resident else self.cfg.stride
             self._explicit_wait = False
         else:
             self.max_batch_wait_frames = max_batch_wait_frames
@@ -544,11 +548,13 @@ class StreamingEngine:
         return off + box[:2][None, :].astype(np.float32)
 
     def _new_ring(self):
-        """Create a DeviceRing on the group's shared kernels, evicting the
-        least-recently-seen ring when over the HBM budget (max_rings ×
-        ~3-6 MB per ring)."""
+        """Create a DeviceRing on the group's shared kernels + uploader,
+        evicting the least-recently-seen ring when over the HBM budget
+        (max_rings × ~3-6 MB per ring). The shared uploader moves the
+        per-frame H2D transfer (several ms of wire time through the relay)
+        off the stepping thread."""
         from .packing import upload_format_of
-        from .ring import DeviceRing, RingKernels
+        from .ring import DeviceRing, RingKernels, RingUploader
 
         group = self._group
         if not hasattr(group, "_ring_kernels"):
@@ -556,11 +562,13 @@ class StreamingEngine:
                 R=group.cfg.clip_size, S=group.crop_buffer,
                 yuv420=upload_format_of(group.scorer) == "yuv420",
             )
+        if not hasattr(group, "_ring_uploader"):
+            group._ring_uploader = RingUploader()
         if len(self.rings) >= self.max_rings:
             lru = min(self.rings, key=lambda t: self.last_seen.get(t, -1))
             self.rings.pop(lru, None)
             self.buffers.pop(lru, None)   # its window continuity is gone
-        return DeviceRing(group._ring_kernels)
+        return DeviceRing(group._ring_kernels, uploader=group._ring_uploader)
 
     def _gc_tracks(self) -> None:
         dead = [

@@ -23,6 +23,8 @@ donate their buffer (in-place when the runtime allows, copy otherwise).
 
 from __future__ import annotations
 
+import queue
+import threading
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -31,13 +33,76 @@ import jax
 import jax.numpy as jnp
 
 
+class RingUploader:
+    """Background H2D pusher: the stepping thread packs a slot (host numpy)
+    and returns immediately; the upload — ~100 KB through a ~25 MB/s relay,
+    i.e. several ms of wire time — happens here, overlapped with the next
+    frame's detection/tracking (the transfer is IO: the GIL is released).
+
+    One uploader per dispatch group; a single worker keeps pushes FIFO so a
+    ring's device state always reflects pushes in arrival order.
+    ``sync(ring)`` blocks until every queued push for that ring has been
+    dispatched — window() calls it before gathering, which costs at most the
+    last frame's in-flight upload."""
+
+    def __init__(self):
+        self._q: "queue.Queue[Optional[tuple]]" = queue.Queue()
+        self._pending: Dict[int, int] = {}
+        self._cv = threading.Condition()
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(
+            target=self._run, name="ring-upload", daemon=True)
+        self._thread.start()
+
+    def submit(self, ring: "DeviceRing", slots: np.ndarray, i0: int,
+               k: int) -> None:
+        """Queue a group push of ``slots[:k]`` at positions i0..i0+k-1."""
+        with self._cv:
+            self._pending[id(ring)] = self._pending.get(id(ring), 0) + 1
+        self._q.put((ring, slots, i0, k))
+
+    def sync(self, ring: "DeviceRing") -> None:
+        with self._cv:
+            while self._pending.get(id(ring), 0):
+                if self._err is not None:
+                    break
+                self._cv.wait(timeout=0.05)
+            if self._err is not None:
+                err, self._err = self._err, None
+                raise RuntimeError("ring upload failed") from err
+
+    def _run(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            ring, slots, i0, k = item
+            try:
+                ring.ring = ring.k.push_many(
+                    ring.ring, jnp.asarray(slots[:k]), jnp.int32(i0), k)
+            except BaseException as e:  # surfaced at the next sync()
+                self._err = e
+            finally:
+                with self._cv:
+                    self._pending[id(ring)] -= 1
+                    self._cv.notify_all()
+
+    def close(self) -> None:
+        self._q.put(None)
+
+
 class RingKernels:
     """Jitted push/gather programs shared by every ring of one shape
-    family — executable count stays at 2 per (R, S, format)."""
+    family. Pushes are BATCHED: ``push_many`` writes ``k`` consecutive
+    (mod R) slots in one device op, so the per-op relay overhead is paid
+    once per group instead of once per frame. Executable count stays at
+    1 (gather) + one push variant per group size in ``push_group_sizes``."""
 
-    def __init__(self, R: int, S: int, yuv420: bool):
+    def __init__(self, R: int, S: int, yuv420: bool, batch_k: int = 4):
         self.R, self.S, self.yuv420 = R, S, yuv420
+        self.batch_k = batch_k
         self.slot_shape = (S * 3 // 2, S) if yuv420 else (S, S, 3)
+        self._push_many_cache = {}
 
         def push(ring, slot, i):
             return jax.lax.dynamic_update_index_in_dim(ring, slot, i, axis=0)
@@ -50,6 +115,23 @@ class RingKernels:
 
         self._window = jax.jit(window, static_argnums=2)
 
+    def push_many(self, ring, slots, i0, k: int):
+        """Write ``slots[:k]`` into positions ``i0 .. i0+k-1 (mod R)``."""
+        fn = self._push_many_cache.get(k)
+        if fn is None:
+            R = self.R
+
+            def pm(ring, slots, i0):
+                def body(r, j):
+                    return jax.lax.dynamic_update_index_in_dim(
+                        r, slots[j], (i0 + j) % R, 0), None
+
+                ring, _ = jax.lax.scan(body, ring, jnp.arange(k))
+                return ring
+
+            fn = self._push_many_cache[k] = jax.jit(pm, donate_argnums=0)
+        return fn(ring, slots, i0)
+
     def empty(self):
         return jnp.zeros((self.R,) + self.slot_shape, jnp.uint8)
 
@@ -57,14 +139,19 @@ class RingKernels:
         ring = self.empty()
         ring = self._push(ring, jnp.zeros(self.slot_shape, jnp.uint8),
                           jnp.int32(0))
+        for k in range(1, self.batch_k + 1):   # partial flushes hit any k
+            ring = self.push_many(
+                ring, jnp.zeros((k,) + self.slot_shape, jnp.uint8),
+                jnp.int32(0), k)
         jax.block_until_ready(self._window(ring, jnp.int32(0), T))
 
 
 class DeviceRing:
     """One track's HBM crop ring + host-side geometry rings."""
 
-    def __init__(self, kernels: RingKernels):
+    def __init__(self, kernels: RingKernels, uploader: Optional[RingUploader] = None):
         self.k = kernels
+        self.uploader = uploader
         R = kernels.R
         self.ring = kernels.empty()
         self.boxes = np.zeros((R, 4), np.float32)
@@ -72,41 +159,63 @@ class DeviceRing:
         self.scale = np.ones((R,), np.float32)
         self.head = -1
         self.count = 0
-        # reusable host slot: crop → S×S zero-padded (+ optional I420 encode)
-        self._slot = np.zeros(kernels.slot_shape, np.uint8)
+        # host staging: frames pack here and ship as ONE device op per
+        # batch_k group (per-op relay overhead paid once per group)
+        self._staged = np.zeros((kernels.batch_k,) + kernels.slot_shape, np.uint8)
+        self._n_staged = 0
         self._rgb_slot = (
             np.zeros((kernels.S, kernels.S, 3), np.uint8)
             if kernels.yuv420 else None
         )
 
     def push(self, crop: np.ndarray, big_box: np.ndarray, lm5: np.ndarray) -> None:
-        """Upload one frame's crop (scaled into the S-slot) and record its
-        unscaled geometry. ``lm5`` is crop-local, ``big_box`` absolute."""
+        """Stage one frame's crop (scaled into the S-slot) and record its
+        unscaled geometry. ``lm5`` is crop-local, ``big_box`` absolute.
+        Every ``batch_k`` frames the staged group ships as one device op —
+        on the uploader's worker thread when one is attached."""
         from .packing import _encode_slot_yuv420, _pack_entry
 
         S = self.k.S
         s = min(1.0, S / float(max(crop.shape[0], crop.shape[1])))
         e = dict(crop=crop, big_box=big_box, lm5=lm5)
+        slot = self._staged[self._n_staged]
         if self.k.yuv420:
             # _encode_slot_yuv420 zeroes + fills the RGB slot then I420-packs
-            _encode_slot_yuv420(e, self._rgb_slot, s, self._slot)
+            _encode_slot_yuv420(e, self._rgb_slot, s, slot)
         else:
-            self._slot[:] = 0
-            _pack_entry(e, self._slot, s)
+            slot[:] = 0
+            _pack_entry(e, slot, s)
+        self._n_staged += 1
         self.head = (self.head + 1) % self.k.R
         self.count += 1
-        self.ring = self.k._push(
-            self.ring, jnp.asarray(self._slot), jnp.int32(self.head)
-        )
         self.boxes[self.head] = np.asarray(big_box, np.float32)
         self.lm5[self.head] = np.asarray(lm5, np.float32)
         self.scale[self.head] = s
+        if self._n_staged == self.k.batch_k:
+            self.flush_staged()
+
+    def flush_staged(self) -> None:
+        """Ship the staged group (one jitted scan-update op)."""
+        k = self._n_staged
+        if not k:
+            return
+        self._n_staged = 0
+        i0 = (self.head - k + 1) % self.k.R
+        if self.uploader is not None:
+            # the staging buffer is reused next frame — the worker gets a copy
+            self.uploader.submit(self, self._staged[:k].copy(), i0, k)
+        else:
+            self.ring = self.k.push_many(
+                self.ring, jnp.asarray(self._staged[:k]), jnp.int32(i0), k)
 
     def window(self, T: int):
         """Snapshot the last ``T`` frames as an on-device gather (async) +
         host geometry, oldest first. Requires ``count >= T``."""
         if self.count < T:
             raise ValueError(f"ring holds {self.count} < {T} frames")
+        self.flush_staged()              # device ring must include every push
+        if self.uploader is not None:
+            self.uploader.sync(self)
         dev = self.k._window(self.ring, jnp.int32(self.head), T)
         idx = (self.head - T + 1 + np.arange(T)) % self.k.R
         return dev, self.boxes[idx].copy(), self.lm5[idx].copy(), self.scale[idx].copy()

@@ -37,10 +37,34 @@ def main(argv=None):
     ap.add_argument("--ftcn", action="store_true", help="use the FTCN variant")
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--seed", type=int, default=0)
+    # multi-device / multi-host: --mesh shards the (global) batch over all
+    # visible devices via GSPMD (replicated params, XLA-inserted grad
+    # all-reduce, global BN stats); --distributed first joins a multi-host
+    # job (each host then loads only its process_shard of the clip tree and
+    # feeds its local rows — reference: DDP + DistributedSampler)
+    ap.add_argument("--mesh", action="store_true",
+                    help="data-parallel over all devices (batch = GLOBAL batch)")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host: jax.distributed.initialize first")
+    ap.add_argument("--coordinator", default=None,
+                    help="coordinator address host:port (auto on TPU pods)")
+    ap.add_argument("--num_processes", type=int, default=None)
+    ap.add_argument("--process_id", type=int, default=None)
     args = ap.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
+
+    from ..parallel.mesh import (
+        data_sharding, global_batch_from_local, init_distributed, make_mesh,
+        process_shard, replicated,
+    )
+
+    if args.distributed:
+        pi, pc = init_distributed(args.coordinator, args.num_processes,
+                                  args.process_id)
+    else:
+        pi, pc = 0, 1
 
     from ..config import I3DConfig
     from ..data.dataset_i3d import I3DClipDataset
@@ -63,11 +87,16 @@ def main(argv=None):
                             recursive=True))
     split = make_split(dirs, ratios=(1 - args.val_ratio, args.val_ratio, 0.0),
                        seed=args.seed)
-    train_ds = I3DClipDataset(clip_dirs=split["train"], T=args.clip_size,
+    # every host computes the identical split (same seed), then takes its
+    # stripe — disjoint near-equal shards whose union is the full train set
+    train_dirs = process_shard(split["train"], pi, pc) if pc > 1 else split["train"]
+    train_ds = I3DClipDataset(clip_dirs=train_dirs, T=args.clip_size,
                               is_train=True, seed=args.seed)
+    # validation + checkpointing run on host 0 only in multi-host mode
     val_ds = I3DClipDataset(clip_dirs=split["val"], T=args.clip_size) \
-        if split["val"] else None
-    log.info(f"train windows={len(train_ds)} val={len(val_ds) if val_ds else 0}")
+        if split["val"] and pi == 0 else None
+    log.info(f"host {pi}/{pc}: train windows={len(train_ds)} "
+             f"val={len(val_ds) if val_ds else 0}")
 
     # space-to-depth stem on accelerators: exact same math and parameter
     # tree, measured 1.24x the full train step on TPU (150 -> 121 ms at
@@ -79,7 +108,11 @@ def main(argv=None):
     model_cls = FTCN if args.ftcn else I3D
     model = model_cls(cfg=cfg, dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
 
-    steps_per_epoch = max(1, len(train_ds) // args.batch)
+    # in mesh mode --batch is the GLOBAL batch; each host feeds its local rows
+    use_mesh = args.mesh or pc > 1
+    local_batch = args.batch // pc if use_mesh else args.batch
+    assert local_batch * pc == args.batch, (args.batch, pc)
+    steps_per_epoch = max(1, len(train_ds) // local_batch)
     targs = I3DTrainArgs(
         base_lr=args.base_lr, max_epoch=args.epochs, warmup_epochs=args.warmup_epochs,
         warmup_start_lr=args.base_lr / 4, optimizer=args.optimizer,
@@ -88,6 +121,21 @@ def main(argv=None):
     )
     sample = jnp.zeros((args.batch, args.clip_size, args.crop_size, args.crop_size, 3))
     state, step_fn, sched = init_i3d_training(model, targs, sample)
+
+    mesh = None
+    if use_mesh:
+        # GSPMD data-parallel: replicated params/opt-state, batch sharded on
+        # the data axis; XLA inserts the gradient all-reduce, and the batch
+        # statistics are GLOBAL by construction (sync-BN for free) — see
+        # docs/SCALING.md and tests/test_mesh_training.py
+        mesh = make_mesh(jax.devices(), data=len(jax.devices()), model=1)
+        repl, dsh = replicated(mesh), data_sharding(mesh)
+        state = jax.device_put(state, repl)
+        raw = step_fn.__wrapped__ if hasattr(step_fn, "__wrapped__") else step_fn
+        step_fn = jax.jit(raw, in_shardings=(repl, dsh, dsh, repl),
+                          out_shardings=(repl, repl))
+        log.info(f"mesh: {mesh.shape} over {len(jax.devices())} devices "
+                 f"(global batch {args.batch}, local {local_batch})")
 
     start_epoch = 0
     if args.resume:
@@ -110,11 +158,16 @@ def main(argv=None):
     for epoch in range(start_epoch, args.epochs):
         meter = TrainMeter(steps_per_epoch, args.epochs, log_period=10)
         for it, (clips, ys) in enumerate(
-            train_ds.batches(args.batch, seed=args.seed + epoch)
+            train_ds.batches(local_batch, seed=args.seed + epoch)
         ):
             meter.iter_tic()
-            x = normalize_clip(jnp.asarray(clips))
-            state, m = step_fn(state, x, jnp.asarray(ys), rng)
+            if mesh is not None:
+                x = global_batch_from_local(mesh, normalize_clip(jnp.asarray(clips)))
+                y = global_batch_from_local(mesh, np.asarray(ys, np.float32))
+            else:
+                x = normalize_clip(jnp.asarray(clips))
+                y = jnp.asarray(ys)
+            state, m = step_fn(state, x, y, rng)
             meter.iter_toc()
             meter.update_stats(float(m["loss"]), float(sched(state.step)),
                                len(ys), acc=float(m["acc"]))
@@ -136,11 +189,14 @@ def main(argv=None):
                                normalize_clip(jnp.asarray(clips)))
                 logits.append(np.asarray(out)[:, 0])
                 ys_all.append(ys)
-            vm = metrics_from_logits(np.concatenate(logits), np.concatenate(ys_all))
-            val_meter.update(vm["roc_auc"], epoch)
-        save_checkpoint(args.out, "i3d", epoch + 1,
-                        {"params": state.params, "batch_stats": state.batch_stats},
-                        max_to_keep=args.max_to_keep)
+            if logits:   # a tiny val split can be smaller than one batch
+                vm = metrics_from_logits(np.concatenate(logits),
+                                         np.concatenate(ys_all))
+                val_meter.update(vm["roc_auc"], epoch)
+        if pi == 0:   # params are replicated — one host persists them
+            save_checkpoint(args.out, "i3d", epoch + 1,
+                            {"params": state.params, "batch_stats": state.batch_stats},
+                            max_to_keep=args.max_to_keep)
     return state
 
 

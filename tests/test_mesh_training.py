@@ -151,3 +151,52 @@ def test_sharded_serving_sees_checkpoint_swaps():
     p0 = serve(crops, boxes, lm5, valid)
     np.testing.assert_allclose(p0, 0.5, atol=1e-6)   # sigmoid(0) everywhere
     assert float(np.abs(p1 - 0.5).max()) > 1e-4      # p1 used the real weights
+
+
+def test_process_shard_math():
+    """Multi-host work partitioning: disjoint, near-equal stripes whose
+    union is the full list, deterministic per (index, count)."""
+    from stdd_tpu.parallel.mesh import process_shard
+
+    items = [f"clip_{i}" for i in range(103)]
+    pc = 4
+    shards = [process_shard(items, pi, pc) for pi in range(pc)]
+    # union preserves everything, shards are disjoint
+    flat = [x for s in shards for x in s]
+    assert sorted(flat) == sorted(items)
+    assert len(set(flat)) == len(items)
+    # near-equal: max spread 1
+    sizes = [len(s) for s in shards]
+    assert max(sizes) - min(sizes) <= 1
+    # deterministic
+    assert process_shard(items, 2, pc) == shards[2]
+    with pytest.raises(ValueError):
+        process_shard(items, 4, 4)
+
+
+def test_global_batch_from_local_single_process():
+    from stdd_tpu.parallel.mesh import global_batch_from_local
+
+    mesh = make_mesh(jax.devices(), data=8, model=1)
+    x = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+    g = global_batch_from_local(mesh, {"x": x})["x"]
+    assert g.shape == (16, 3)
+    assert g.sharding.spec == P("data")
+    np.testing.assert_array_equal(np.asarray(g), x)
+
+
+def test_run_i3d_mesh_cli_one_epoch(tmp_path):
+    """--mesh trains one epoch data-parallel over the 8 virtual devices
+    (global batch 8 → 1 clip per device) through the real CLI."""
+    from stdd_tpu.train.run_i3d import main
+    from tests.test_cli_train import _make_i3d_tree
+
+    data = tmp_path / "clips"
+    _make_i3d_tree(str(data), T=4, size=32)
+    out = tmp_path / "runs"
+    main([
+        "--data", str(data), "--out", str(out), "--clip_size", "4",
+        "--crop_size", "32", "--batch", "8", "--epochs", "1",
+        "--val_ratio", "0.3", "--mesh",
+    ])
+    assert any(p.name.startswith("i3d") for p in out.iterdir()), list(out.iterdir())

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from stdd_tpu.config import I3DConfig, PipelineConfig
 from stdd_tpu.runtime.classifier import ClipScorer
 from stdd_tpu.runtime.engine import StreamingEngine
-from stdd_tpu.runtime.ring import DeviceRing, RingKernels
+from stdd_tpu.runtime.ring import DeviceRing, RingKernels, RingUploader
 from tests.test_engine import PIPE, SMALL_CFG, make_fake_detector, _frames
 
 
@@ -36,6 +36,45 @@ def test_ring_wraparound_order():
 
     with pytest.raises(ValueError):
         DeviceRing(k).window(1)
+
+
+def test_ring_uploader_background_push():
+    """Pushes through the background uploader must produce the same device
+    ring state as synchronous pushes — window() syncs before gathering, so
+    a gather can never miss an in-flight frame."""
+    k = RingKernels(R=8, S=16, yuv420=False)
+    up = RingUploader()
+    try:
+        ring = DeviceRing(k, uploader=up)
+        sync_ring = DeviceRing(k)
+        for i in range(13):
+            crop = np.full((12, 10, 3), i, np.uint8)
+            box = np.array([i, i, i + 10.0, i + 12.0])
+            lm = np.full((5, 2), float(i))
+            ring.push(crop, box, lm)
+            sync_ring.push(crop, box, lm)
+        dev, boxes, lm5, scale = ring.window(6)
+        dev2, boxes2, lm52, scale2 = sync_ring.window(6)
+        np.testing.assert_array_equal(np.asarray(dev), np.asarray(dev2))
+        np.testing.assert_allclose(boxes, boxes2)
+    finally:
+        up.close()
+
+
+def test_ring_uploader_surfaces_errors():
+    k = RingKernels(R=4, S=16, yuv420=False)
+    up = RingUploader()
+    try:
+        ring = DeviceRing(k, uploader=up)
+        ring.push(np.full((10, 10, 3), 1, np.uint8),
+                  np.array([0.0, 0, 10, 10]), np.zeros((5, 2)))
+        # a malformed slot group (wrong shape) makes the jitted push fail on
+        # the worker; the error must surface at the next sync, not vanish
+        up.submit(ring, np.zeros((1, 3, 3), np.uint8), 1, 1)
+        with pytest.raises(RuntimeError):
+            up.sync(ring)
+    finally:
+        up.close()
 
 
 def test_ring_yuv420_slot_shape():
