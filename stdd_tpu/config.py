@@ -45,6 +45,7 @@ class I3DConfig:
     temporal_only: bool = False
     s2d_stem: bool = False        # space-to-depth stem (same math, MXU-friendly; see models/i3d.py Conv3dBN)
     stem_t2: bool = False         # eval-only packed stem: s2d + temporal-pair packing + folded BN (models/i3d.py stem_forward_t2)
+    fused_s2: bool = False        # eval-only fused s2 bottlenecks (Pallas, folded BN; ops/bottleneck_pallas.py)
     stop_point: int = 5           # FTCN truncation: removes s_k..s5 (5 = keep s2..s4, the shipped ftcn_tt.yaml; 6 = keep all)
 
 

@@ -186,6 +186,25 @@ class _StemParams(nn.Module):
         return (w,) + tuple(_BNStats(self.kernel_shape[-1], name="bn")())
 
 
+class _BottleneckParams(nn.Module):
+    """The three Conv3dBN parameter sets of a Bottleneck at Bottleneck's
+    tree paths (``branch2/{a,b,c}/{conv,bn}``) — the fused eval path
+    declares the SAME tree the conv path does, so checkpoints interchange
+    (same pattern as the t2 stem's _StemParams)."""
+
+    tk: int
+    dim_in: int
+    dim_inner: int
+    dim_out: int
+
+    @nn.compact
+    def __call__(self):
+        pa = _StemParams((self.tk, 1, 1, self.dim_in, self.dim_inner), name="a")()
+        pb = _StemParams((1, 3, 3, self.dim_inner, self.dim_inner), name="b")()
+        pc = _StemParams((1, 1, 1, self.dim_inner, self.dim_out), name="c")()
+        return pa, pb, pc
+
+
 def _t2_cell_range(tk: int) -> Tuple[int, int]:
     """Temporal cell offsets touched by a tk-tap stride-1 conv when output
     frames are packed in pairs: out[2p+ot] reads in[2p+ot-tk//2 .. 2p+ot+tk//2]."""
@@ -380,9 +399,15 @@ class ResBlock(nn.Module):
     axis_name: Optional[str]
     dtype: Dtype
     spatial_1x1: bool = False
+    fused_eval: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if (
+            self.fused_eval and not train and self.stride == 1
+            and not self.spatial_1x1
+        ):
+            return self._fused(x)
         branch2 = Bottleneck(
             dim_out=self.dim_out,
             dim_inner=self.dim_inner,
@@ -412,6 +437,36 @@ class ResBlock(nn.Module):
             shortcut = x
         return nn.relu(shortcut + branch2)
 
+    def _fused(self, x):
+        """Eval-only fused bottleneck: BN folds into the conv weights (exact
+        — BN at eval is a per-channel affine of the running stats) and the
+        whole a→b→c→(+res)→relu block runs as ONE Pallas pass, so the
+        64-channel intermediates never round-trip HBM (the s2 stage is
+        bandwidth-bound at the production shape — see
+        ops/bottleneck_pallas.py). Same parameter tree as the conv path."""
+        from ..ops.bottleneck_pallas import fold_bn, fused_bottleneck
+
+        tk = self.temp_kernel_size
+        Cin, Ci, Co = self.dim_in, self.dim_inner, self.dim_out
+        pa, pb, pc = _BottleneckParams(
+            tk=tk, dim_in=Cin, dim_inner=Ci, dim_out=Co, name="branch2")()
+        wa, ba = fold_bn(pa[0].reshape(tk, Cin, Ci), *pa[1:], self.bn_eps)
+        wb, bb = fold_bn(pb[0].reshape(3, 3, Ci, Ci), *pb[1:], self.bn_eps)
+        wc, bc = fold_bn(pc[0].reshape(Ci, Co), *pc[1:], self.bn_eps)
+        ws = bs = None
+        if Cin != Co:
+            ps = _StemParams((1, 1, 1, Cin, Co), name="shortcut")()
+            ws, bs = fold_bn(ps[0].reshape(Cin, Co), *ps[1:], self.bn_eps)
+        T, H = x.shape[1], x.shape[2]
+        tile_t = next(t for t in (8, 4, 2, 1) if T % t == 0)
+        tile_h = next(h for h in (14, 16, 8, 7, 4, 2, 1) if H % h == 0)
+        return fused_bottleneck(
+            x, wa, ba, wb, bb, wc, bc, ws, bs, tk=tk,
+            tile_t=tile_t, tile_h=tile_h,
+            interpret=jax.default_backend() == "cpu",
+            out_dtype=self.dtype,
+        ).astype(self.dtype)
+
 
 def stage_temp_kernels(basis: Sequence[int], num_blocks: int, num_temp: int) -> Tuple[int, ...]:
     """Per-block temporal kernels: tile the basis, truncate to ``num_temp``
@@ -436,6 +491,7 @@ class ResStage(nn.Module):
     axis_name: Optional[str]
     dtype: Dtype
     spatial_1x1: bool = False
+    fused_eval: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -453,6 +509,7 @@ class ResStage(nn.Module):
                 axis_name=self.axis_name,
                 dtype=self.dtype,
                 spatial_1x1=self.spatial_1x1,
+                fused_eval=self.fused_eval,
                 name=f"pathway0_res{i}",
             )(x, train)
         return x
@@ -546,6 +603,9 @@ class I3D(nn.Module):
                 num_block_temp_kernel=ntemp,
                 stride=stride,
                 spatial_1x1=c.temporal_only,
+                # eval-only fused s2 bottlenecks (ops/bottleneck_pallas.py):
+                # the HBM-bandwidth-bound stage at production shapes
+                fused_eval=(si == 0 and c.fused_s2),
                 name=name,
                 **bn,
             )(x, train)
