@@ -27,15 +27,19 @@ class FeatureCaptureScorer:
         self.features: List[np.ndarray] = []
         self.logits: List[np.ndarray] = []
 
-    def score_async(self, crops, boxes, lm5, valid):
+    def score_async(self, crops, boxes, lm5, valid, path: str = "auto"):
+        # `path` (the engine's host-side warp routing hint) is accepted for
+        # the ClipScorer contract but ignored: the feature-capture program
+        # has no per-path variants, it always auto-routes internally.
+        del path
         probs, logits, feats = self.scorer.score_with_features(crops, boxes, lm5, valid)
         n = int(np.sum(valid))
         self.features.append(feats[:n])
         self.logits.append(logits[:n])
         return probs
 
-    def score(self, crops, boxes, lm5, valid):
-        return self.score_async(crops, boxes, lm5, valid)
+    def score(self, crops, boxes, lm5, valid, path: str = "auto"):
+        return self.score_async(crops, boxes, lm5, valid, path=path)
 
 
 def dump_video_features(
