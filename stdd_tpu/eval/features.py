@@ -57,6 +57,11 @@ def dump_video_features(
     from ..runtime.engine import StreamingEngine
 
     capture = FeatureCaptureScorer(scorer)
+    # the facade has no score_windows (device-ring) program — and feature
+    # dumping is an offline job where the host-packed path is the
+    # throughput-optimal choice anyway, so pin it off rather than inherit
+    # the engine's accelerator auto-default
+    engine_kwargs.setdefault("device_resident", False)
     engine = StreamingEngine(capture, detect_fn, cfg=cfg, **engine_kwargs)
     order: List[Tuple[int, float]] = []
     for frame in frames_bgr:

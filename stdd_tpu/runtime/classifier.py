@@ -311,14 +311,17 @@ class ClipScorer:
         in the hot path — first-clip latency through a cold process is
         otherwise a full XLA compile. Blocks until all executables exist.
 
-        ``paths``: which warp branches to warm; default = the branch the
-        dispatch worker's per-clip router will actually use ('pallas' when
-        the Pallas warp is on, else 'auto'). ``windows=True`` additionally
-        warms the device-ring ``score_windows`` variants."""
+        ``paths``: which warp branches to warm; default 'auto' — the only
+        path the dispatch worker ships (its per-clip router splits batches
+        host-side but always dispatches 'auto', whose executable contains
+        BOTH warp branches in its in-graph cond — so this default covers
+        everything serving can hit, including the first out-of-envelope
+        face). ``windows=True`` additionally warms the device-ring
+        ``score_windows`` variants."""
         T = clip_size or self.cfg.num_frames
         S = crop_buffer
         if paths is None:
-            paths = ("pallas",) if self.use_pallas_warp else ("auto",)
+            paths = ("auto",)
         slot = (T, S * 3 // 2, S) if self.upload_format == "yuv420" else (T, S, S, 3)
         for path in paths:
             for b in batch_capacities:

@@ -155,6 +155,15 @@ class StreamingEngine:
 
             device_resident = _jax.devices()[0].platform not in ("cpu",)
         self.device_resident = bool(device_resident)
+        # fail fast: ring windows dispatch through scorer.score_windows —
+        # a facade without it (e.g. FeatureCaptureScorer) would otherwise
+        # die on the dispatch worker at the first emitted window
+        if self.device_resident and not hasattr(scorer, "score_windows"):
+            raise ValueError(
+                "device_resident=True requires a scorer with score_windows() "
+                f"(got {type(scorer).__name__}); pass device_resident=False "
+                "for scorer facades that only implement score_async"
+            )
         self.max_rings = max_rings
         self.start_conf = start_conf
         self.drop_after = drop_after
@@ -301,6 +310,8 @@ class StreamingEngine:
         self.tracker = ByteTracker(**self._track_kwargs)
         self.frame_idx = 0
         self.buffers: Dict[int, Deque[_FrameEntry]] = {}
+        for _ring in getattr(self, "rings", {}).values():
+            _ring.close()   # drop per-ring uploader bookkeeping across resets
         self.rings: Dict[int, Any] = {}       # tid → DeviceRing (ring mode)
         self.lm5_offsets: Dict[int, np.ndarray] = {}
         self.since_emit: Dict[int, int] = collections.defaultdict(lambda: 10 ** 9)
@@ -392,6 +403,10 @@ class StreamingEngine:
         import cv2
 
         results: List[Tuple[int, float]] = []
+        # ring eviction must never touch a face that is live in THIS frame
+        # (evicting one live track to ring another would cascade every frame
+        # in a crowd and no face would ever accumulate a full window)
+        self._live_now = {tr.track_id for tr in live}
 
         for tr in live:
             tid = tr.track_id
@@ -430,10 +445,26 @@ class StreamingEngine:
             buf = self.buffers.setdefault(
                 tid, collections.deque(maxlen=self.cfg.clip_size)
             )
+            ring = None
             if self.device_resident:
                 ring = self.rings.get(tid)
+                if ring is not None and getattr(ring, "broken", False):
+                    # an H2D push for this ring failed — its HBM state is
+                    # missing a frame; drop it and restart windowing clean
+                    self._drop_ring(tid)
+                    buf.clear()
+                    ring = None
                 if ring is None:
-                    ring = self.rings[tid] = self._new_ring()
+                    # may return None when every ring slot belongs to a face
+                    # live this frame (crowd > max_rings): this track then
+                    # runs the host-packed path instead of thrash-evicting
+                    ring = self._new_ring()
+                    if ring is not None:
+                        self.rings[tid] = ring
+                        # windowing restarts aligned with the fresh ring so
+                        # len(buf) >= clip_size implies ring.count >= clip_size
+                        buf.clear()
+            if ring is not None:
                 # crop lands in HBM now (~100 KB, async); entries keep only
                 # the geometry so windows never re-upload pixels
                 ring.push(crop, big_box, lm5_local)
@@ -448,9 +479,12 @@ class StreamingEngine:
             ):
                 import time
 
+                # a track without a ring (crowd overflow) carries pixels in
+                # its buffer entries and ships through the host-packed path
+                emit_ring = self.rings.get(tid) if self.device_resident else None
                 window = (
-                    self.rings[tid].window(self.cfg.clip_size)
-                    if self.device_resident else None
+                    emit_ring.window(self.cfg.clip_size)
+                    if emit_ring is not None else None
                 )
                 group = self._group
                 with group._state_lock:
@@ -565,10 +599,26 @@ class StreamingEngine:
         if not hasattr(group, "_ring_uploader"):
             group._ring_uploader = RingUploader()
         if len(self.rings) >= self.max_rings:
-            lru = min(self.rings, key=lambda t: self.last_seen.get(t, -1))
-            self.rings.pop(lru, None)
+            # evict the least-recently-seen ring — but never one whose face
+            # is live in this frame (that would cascade: each evicted live
+            # track re-rings next iteration, evicting another live track,
+            # and no face ever accumulates a full window). With max_rings
+            # simultaneous live faces, the newcomer gets no ring and falls
+            # back to host-packed buffering instead.
+            live_now = getattr(self, "_live_now", frozenset())
+            candidates = [t for t in self.rings if t not in live_now]
+            if not candidates:
+                return None
+            lru = min(candidates, key=lambda t: self.last_seen.get(t, -1))
+            self._drop_ring(lru)
             self.buffers.pop(lru, None)   # its window continuity is gone
+            self.since_emit.pop(lru, None)
         return DeviceRing(group._ring_kernels, uploader=group._ring_uploader)
+
+    def _drop_ring(self, tid: int) -> None:
+        ring = self.rings.pop(tid, None)
+        if ring is not None:
+            ring.close()   # release the uploader's per-ring bookkeeping
 
     def _gc_tracks(self) -> None:
         dead = [
@@ -578,7 +628,7 @@ class StreamingEngine:
         ]
         for tid in dead:
             self.buffers.pop(tid, None)
-            self.rings.pop(tid, None)
+            self._drop_ring(tid)
             self.lm5_offsets.pop(tid, None)
             self.since_emit.pop(tid, None)
             self.last_seen.pop(tid, None)
@@ -603,6 +653,15 @@ class StreamingEngine:
             self._next_seq += 1
         self._dispatch_q.put((seq, batch, time.perf_counter()))
 
+    def _cap_for(self, n: int) -> int:
+        """Next power-of-2 dispatch capacity ≥ n (bounded by batch_clips)."""
+        from .packing import pow2_capacities
+
+        return next(
+            (c for c in pow2_capacities(self.cfg.batch_clips) if c >= n),
+            self.cfg.batch_clips,
+        )
+
     def _pack_and_score(self, batch: List[_PendingClip], path: str = "auto"):
         """Pack a (sub-)batch to the next power-of-2 capacity and dispatch it
         asynchronously — a padded batch uploads its full fixed-shape buffer,
@@ -610,13 +669,9 @@ class StreamingEngine:
         bytes (the streaming bottleneck). Capacities are powers of two so the
         executable count stays at log2(batch_clips)+1 per path (jit caches
         per shape). → (device probs, boxes, lm5)."""
-        from .packing import pack_clip_batch, pow2_capacities, upload_format_of
+        from .packing import pack_clip_batch, upload_format_of
 
-        cap = next(
-            (c for c in pow2_capacities(self.cfg.batch_clips)
-             if c >= len(batch)),
-            self.cfg.batch_clips,
-        )
+        cap = self._cap_for(len(batch))
         crops, boxes, lm5, valid = pack_clip_batch(
             [c.entries for c in batch], cap,
             self.cfg.clip_size, self.crop_buffer,
@@ -652,62 +707,91 @@ class StreamingEngine:
             template=np.asarray(self.scorer._template), scale=scales,
         )
 
-    def _dispatch_windows(self, batch: List[_PendingClip]):
+    def _ship_windows(self, sub: List[_PendingClip]):
         """Dispatch device-ring windows: pixels are already in HBM, so only
-        geometry (KBs) is uploaded. Per-clip Pallas/gather routing as in the
-        packed path; → dev array or [(indices, dev), ...] for mixed."""
-        from .classifier import clip_fit_drift
-        from .packing import pow2_capacities
-
+        geometry (KBs) is uploaded. Pads to the next pow2 capacity."""
         T = self.cfg.clip_size
-        S_model = self.scorer.cfg.crop_size
+        cap = self._cap_for(len(sub))
+        boxes = np.ones((cap, T, 4), np.float32)
+        lm5 = np.ones((cap, T, 5, 2), np.float32)
+        scale = np.ones((cap, T), np.float32)
+        valid = np.zeros((cap,), bool)
+        ws = []
+        for k, clip in enumerate(sub):
+            dev_w, b, l, s = clip.window
+            ws.append(dev_w)
+            boxes[k], lm5[k], scale[k] = b, l, s
+            valid[k] = True
+        if len(ws) < cap:
+            if not hasattr(self, "_zero_window"):
+                import jax.numpy as jnp
 
-        def ship(sub_idx, path):
-            sub = [batch[i] for i in sub_idx]
-            cap = next(
-                (c for c in pow2_capacities(self.cfg.batch_clips)
-                 if c >= len(sub)),
-                self.cfg.batch_clips,
-            )
-            boxes = np.ones((cap, T, 4), np.float32)
-            lm5 = np.ones((cap, T, 5, 2), np.float32)
-            scale = np.ones((cap, T), np.float32)
-            valid = np.zeros((cap,), bool)
-            ws = []
-            for k, clip in enumerate(sub):
-                dev_w, b, l, s = clip.window
-                ws.append(dev_w)
-                boxes[k], lm5[k], scale[k] = b, l, s
-                valid[k] = True
-            if len(ws) < cap:
-                if not hasattr(self, "_zero_window"):
-                    import jax.numpy as jnp
+                self._zero_window = jnp.zeros(
+                    (T,) + self._ring_kernels.slot_shape, jnp.uint8
+                )
+            ws.extend([self._zero_window] * (cap - len(ws)))
+        return self.scorer.score_windows(ws, boxes, lm5, scale, valid)
 
-                    self._zero_window = jnp.zeros(
-                        (T,) + self._ring_kernels.slot_shape, jnp.uint8
-                    )
-                ws.extend([self._zero_window] * (cap - len(ws)))
-            return self.scorer.score_windows(ws, boxes, lm5, scale, valid, path=path)
+    def _windows_drift(self, sub: List[_PendingClip]) -> np.ndarray:
+        from .classifier import clip_fit_drift
 
-        all_idx = list(range(len(batch)))
-        if not getattr(self.scorer, "use_pallas_warp", False):
-            return ship(all_idx, "auto")
-        B = len(batch)
-        boxes = np.stack([c.window[1] for c in batch])
-        lm5 = np.stack([c.window[2] for c in batch])
-        scales = np.stack([c.window[3] for c in batch])
-        drift = clip_fit_drift(
-            boxes, lm5, S_model,
-            template=np.asarray(self.scorer._template), scale=scales,
+        return clip_fit_drift(
+            np.stack([c.window[1] for c in sub]),
+            np.stack([c.window[2] for c in sub]),
+            self.scorer.cfg.crop_size,
+            template=np.asarray(self.scorer._template),
+            scale=np.stack([c.window[3] for c in sub]),
         )
-        band = self.scorer.warp_band
-        if (drift <= band).all():
-            return ship(all_idx, "pallas")
-        if (drift > band).all():
-            return ship(all_idx, "gather")
-        idx_p = [i for i in all_idx if drift[i] <= band]
-        idx_g = [i for i in all_idx if drift[i] > band]
-        return [(idx_p, ship(idx_p, "pallas")), (idx_g, ship(idx_g, "gather"))]
+
+    def _score_batch(self, batch: List[_PendingClip]):
+        """Route one dispatch batch to the device. Two orthogonal splits:
+
+        - window clips (device-ring) vs host-packed clips ship through
+          different programs (a crowd-overflow track has no ring, so a ring-
+          mode batch CAN mix both);
+        - within each, clips are split by the host-side drift probe
+          (clip_fit_drift) so one out-of-envelope face demotes only its own
+          sub-batch to the slow gather warp, never its peers (VERDICT r1 #5).
+
+        Every sub-batch ships with path='auto': the scorer's in-graph
+        envelope cond stays the correctness authority (the host probe fits
+        the inverse map directly and can disagree near the band edge, so a
+        statically forced branch could warp out-of-envelope rows silently),
+        and 'auto' executables contain both branches, so the warmed set
+        covers everything the router can dispatch — no hot-path compiles.
+
+        → dev array (single ship covering the whole batch, in order) or
+        ``[(indices, dev), ...]`` pieces for the harvester."""
+        groups: List[Tuple[List[int], List[_PendingClip], bool]] = []
+        idx_w = [i for i, c in enumerate(batch) if c.window is not None]
+        idx_h = [i for i, c in enumerate(batch) if c.window is None]
+        for idx, is_window in ((idx_w, True), (idx_h, False)):
+            if not idx:
+                continue
+            sub = [batch[i] for i in idx]
+            if getattr(self.scorer, "use_pallas_warp", False) and len(sub) > 1:
+                drift = (self._windows_drift(sub) if is_window
+                         else self._batch_drift(sub))
+                band = self.scorer.warp_band
+                in_b = [j for j, d in enumerate(drift) if d <= band]
+                out_b = [j for j, d in enumerate(drift) if d > band]
+                subgroups = [g for g in (in_b, out_b) if g]
+            else:
+                subgroups = [list(range(len(sub)))]
+            for g in subgroups:
+                groups.append(([idx[j] for j in g], [sub[j] for j in g],
+                               is_window))
+
+        def ship(sub, is_window):
+            if is_window:
+                return self._ship_windows(sub)
+            dev, _, _ = self._pack_and_score(sub, path="auto")
+            return dev
+
+        if len(groups) == 1:
+            idx, sub, is_window = groups[0]
+            return ship(sub, is_window)   # idx == range(len(batch)), in order
+        return [(idx, ship(sub, is_window)) for idx, sub, is_window in groups]
 
     def _dispatch_worker(self) -> None:
         while True:
@@ -717,31 +801,7 @@ class StreamingEngine:
                 if item is None:
                     continue
                 seq, batch, t0 = item
-                if batch and batch[0].window is not None:
-                    dev = self._dispatch_windows(batch)
-                elif getattr(self.scorer, "use_pallas_warp", False):
-                    # per-clip warp routing: probe each clip's similarity fit
-                    # with a cheap host-side solve (on the raw entries — the
-                    # pack scale multiplies the drift linearly), then ship
-                    # out-of-envelope clips in their OWN gather-path
-                    # sub-batch so one tilted face demotes one clip, never
-                    # the whole batch (the 19x cliff, VERDICT r1 #5)
-                    drift = self._batch_drift(batch)
-                    band = self.scorer.warp_band
-                    if (drift <= band).all():
-                        dev, _, _ = self._pack_and_score(batch, path="pallas")
-                    elif (drift > band).all():
-                        dev, _, _ = self._pack_and_score(batch, path="gather")
-                    else:
-                        idx_p = [i for i, d in enumerate(drift) if d <= band]
-                        idx_g = [i for i, d in enumerate(drift) if d > band]
-                        dev_p, _, _ = self._pack_and_score(
-                            [batch[i] for i in idx_p], path="pallas")
-                        dev_g, _, _ = self._pack_and_score(
-                            [batch[i] for i in idx_g], path="gather")
-                        dev = [(idx_p, dev_p), (idx_g, dev_g)]
-                else:
-                    dev, _, _ = self._pack_and_score(batch, path="auto")
+                dev = self._score_batch(batch)
                 with self._lock:
                     self.inflight.append((seq, batch, dev, t0))
             except Exception as exc:

@@ -49,7 +49,11 @@ class RingUploader:
         self._q: "queue.Queue[Optional[tuple]]" = queue.Queue()
         self._pending: Dict[int, int] = {}
         self._cv = threading.Condition()
-        self._err: Optional[BaseException] = None
+        # per-ring errors: an upload failure must surface at ITS ring's next
+        # sync and nowhere else — with one shared error slot, stream B's
+        # window() would crash on stream A's failed push while A's corrupted
+        # ring went on scoring stale pixels silently
+        self._errs: Dict[int, BaseException] = {}
         self._thread = threading.Thread(
             target=self._run, name="ring-upload", daemon=True)
         self._thread.start()
@@ -62,14 +66,20 @@ class RingUploader:
         self._q.put((ring, slots, i0, k))
 
     def sync(self, ring: "DeviceRing") -> None:
+        rid = id(ring)
         with self._cv:
-            while self._pending.get(id(ring), 0):
-                if self._err is not None:
-                    break
+            while self._pending.get(rid, 0) and rid not in self._errs:
                 self._cv.wait(timeout=0.05)
-            if self._err is not None:
-                err, self._err = self._err, None
-                raise RuntimeError("ring upload failed") from err
+            err = self._errs.pop(rid, None)
+        if err is not None:
+            raise RuntimeError("ring upload failed") from err
+
+    def forget(self, ring: "DeviceRing") -> None:
+        """Drop this ring's bookkeeping (eviction/GC): id() values of dead
+        rings get recycled, so stale entries must not linger."""
+        with self._cv:
+            self._pending.pop(id(ring), None)
+            self._errs.pop(id(ring), None)
 
     def _run(self) -> None:
         while True:
@@ -80,11 +90,17 @@ class RingUploader:
             try:
                 ring.ring = ring.k.push_many(
                     ring.ring, jnp.asarray(slots[:k]), jnp.int32(i0), k)
-            except BaseException as e:  # surfaced at the next sync()
-                self._err = e
+            except BaseException as e:  # surfaced at THIS ring's next sync()
+                ring.broken = True      # HBM state is missing a frame now
+                with self._cv:
+                    self._errs[id(ring)] = e
             finally:
                 with self._cv:
-                    self._pending[id(ring)] -= 1
+                    n = self._pending.get(id(ring), 1) - 1
+                    if n <= 0:
+                        self._pending.pop(id(ring), None)
+                    else:
+                        self._pending[id(ring)] = n
                     self._cv.notify_all()
 
     def close(self) -> None:
@@ -159,6 +175,9 @@ class DeviceRing:
         self.scale = np.ones((R,), np.float32)
         self.head = -1
         self.count = 0
+        # set by the uploader when a push for THIS ring fails: the HBM state
+        # is missing a frame, so the engine drops and re-creates the ring
+        self.broken = False
         # host staging: frames pack here and ship as ONE device op per
         # batch_k group (per-op relay overhead paid once per group)
         self._staged = np.zeros((kernels.batch_k,) + kernels.slot_shape, np.uint8)
@@ -207,6 +226,11 @@ class DeviceRing:
         else:
             self.ring = self.k.push_many(
                 self.ring, jnp.asarray(self._staged[:k]), jnp.int32(i0), k)
+
+    def close(self) -> None:
+        """Release the uploader's per-ring bookkeeping (call on eviction)."""
+        if self.uploader is not None:
+            self.uploader.forget(self)
 
     def window(self, T: int):
         """Snapshot the last ``T`` frames as an on-device gather (async) +

@@ -53,9 +53,13 @@ class MultiStreamServer:
         self.cfg = cfg or PipelineConfig()
         self._engine_kwargs = engine_kwargs
         if max_batch_wait_frames is None:
-            # bound clip latency when calls are sparse: a clip waits at most
-            # one stride's worth of group steps before a partial batch ships
-            max_batch_wait_frames = self.cfg.stride
+            # inherit the engine's latency default: 0 in device-ring mode
+            # (window dispatches move only kilobytes of geometry, so holding
+            # a partial batch for peers buys nothing and costs up to a
+            # stride of p50 window latency), else one stride's worth of
+            # group steps so a sparse call's clip never waits for a full
+            # batch
+            max_batch_wait_frames = "stride"
         # the group root anchors the shared dispatch plumbing (queue, upload
         # lanes, in-flight set). It never receives frames and is never reset,
         # so no stream's lifecycle can drain a peer's in-flight work.

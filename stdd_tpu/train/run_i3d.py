@@ -92,9 +92,12 @@ def main(argv=None):
     train_dirs = process_shard(split["train"], pi, pc) if pc > 1 else split["train"]
     train_ds = I3DClipDataset(clip_dirs=train_dirs, T=args.clip_size,
                               is_train=True, seed=args.seed)
-    # validation + checkpointing run on host 0 only in multi-host mode
+    # every host builds the identical val set: in mesh mode validation is a
+    # collective (the state is sharded over the GLOBAL mesh, so a jit on it
+    # must be entered by every process — host-0-only eval would hang on the
+    # launch barrier); host 0 alone logs/persists
     val_ds = I3DClipDataset(clip_dirs=split["val"], T=args.clip_size) \
-        if split["val"] and pi == 0 else None
+        if split["val"] else None
     log.info(f"host {pi}/{pc}: train windows={len(train_ds)} "
              f"val={len(val_ds) if val_ds else 0}")
 
@@ -113,6 +116,20 @@ def main(argv=None):
     local_batch = args.batch // pc if use_mesh else args.batch
     assert local_batch * pc == args.batch, (args.batch, pc)
     steps_per_epoch = max(1, len(train_ds) // local_batch)
+    if pc > 1:
+        # every train step is a collective (XLA grad all-reduce): all hosts
+        # MUST run the same number of steps per epoch or the job deadlocks
+        # at the first epoch boundary. Shards stripe clip DIRECTORIES
+        # near-equally but their WINDOW counts differ, so agree on the
+        # global minimum (the reference's DistributedSampler equalizes by
+        # padding; truncating to the min is the same invariant).
+        from jax.experimental import multihost_utils
+
+        counts = multihost_utils.process_allgather(
+            np.asarray([len(train_ds) // local_batch], np.int64))
+        steps_per_epoch = max(1, int(np.min(counts)))
+        log.info(f"multi-host: per-host batch counts {list(map(int, counts))} "
+                 f"-> {steps_per_epoch} steps/epoch (global min)")
     targs = I3DTrainArgs(
         base_lr=args.base_lr, max_epoch=args.epochs, warmup_epochs=args.warmup_epochs,
         warmup_start_lr=args.base_lr / 4, optimizer=args.optimizer,
@@ -148,18 +165,29 @@ def main(argv=None):
                                     state.opt_state, jnp.asarray(start_epoch * steps_per_epoch))
             log.info(f"resumed from epoch {start_epoch}")
 
-    @jax.jit
-    def eval_fwd(params, batch_stats, clips):
+    def _eval_fwd_impl(params, batch_stats, clips):
         return model.apply({"params": params, "batch_stats": batch_stats},
                            clips, train=False)
+
+    if mesh is not None:
+        # the state lives sharded over the (possibly multi-host) mesh, so
+        # eval is a collective every process enters; logits come back
+        # replicated so each host materializes the full batch locally
+        eval_fwd = jax.jit(_eval_fwd_impl, in_shardings=(repl, repl, dsh),
+                           out_shardings=repl)
+    else:
+        eval_fwd = jax.jit(_eval_fwd_impl)
+
+    import itertools
 
     rng = jax.random.PRNGKey(args.seed)
     val_meter = ValMeter()
     for epoch in range(start_epoch, args.epochs):
         meter = TrainMeter(steps_per_epoch, args.epochs, log_period=10)
-        for it, (clips, ys) in enumerate(
-            train_ds.batches(local_batch, seed=args.seed + epoch)
-        ):
+        for it, (clips, ys) in enumerate(itertools.islice(
+            train_ds.batches(local_batch, seed=args.seed + epoch),
+            steps_per_epoch,
+        )):
             meter.iter_tic()
             if mesh is not None:
                 x = global_batch_from_local(mesh, normalize_clip(jnp.asarray(clips)))
@@ -175,18 +203,36 @@ def main(argv=None):
         meter.log_epoch_stats(epoch)
 
         if args.precise_bn_batches:
-            pb = (normalize_clip(jnp.asarray(c))
-                  for c, _ in train_ds.batches(args.batch, seed=999))
-            import itertools
-
+            # in mesh mode precise-BN is a collective too: feed GLOBAL
+            # batches (each host contributes its local rows) and bound the
+            # count by the global-min steps so every host runs equally many
+            n_pb = args.precise_bn_batches
+            if mesh is not None:
+                pb = (global_batch_from_local(mesh, normalize_clip(jnp.asarray(c)))
+                      for c, _ in train_ds.batches(local_batch, seed=999))
+                if pc > 1:
+                    n_pb = min(n_pb, steps_per_epoch)
+            else:
+                pb = (normalize_clip(jnp.asarray(c))
+                      for c, _ in train_ds.batches(args.batch, seed=999))
             state = precise_bn_update(model, state,
-                                      itertools.islice(pb, args.precise_bn_batches))
+                                      itertools.islice(pb, n_pb))
 
         if val_ds is not None and len(val_ds):
             logits, ys_all = [], []
+            # every host iterates the IDENTICAL val batches (same split,
+            # shuffle off); in mesh mode each host feeds its stripe of the
+            # batch and reads back the replicated logits
             for clips, ys in val_ds.batches(args.batch, shuffle=False):
-                out = eval_fwd(state.params, state.batch_stats,
-                               normalize_clip(jnp.asarray(clips)))
+                if mesh is not None:
+                    x = global_batch_from_local(
+                        mesh,
+                        normalize_clip(jnp.asarray(
+                            clips[pi * local_batch:(pi + 1) * local_batch])),
+                    )
+                else:
+                    x = normalize_clip(jnp.asarray(clips))
+                out = eval_fwd(state.params, state.batch_stats, x)
                 logits.append(np.asarray(out)[:, 0])
                 ys_all.append(ys)
             if logits:   # a tiny val split can be smaller than one batch

@@ -138,3 +138,21 @@ def test_feature_dump_roundtrip(tmp_path):
     clips = load_feature_clips([str(tmp_path / "v0.npz")], T=2)
     assert clips["rgb"].shape[1:] == (2, 2048)
     assert len(clips["rgb"]) >= 1
+
+
+def test_feature_scorer_rejects_device_resident_engine():
+    """FeatureCaptureScorer has no score_windows program: constructing a
+    device-ring engine on it must fail at construction (loudly), not on the
+    dispatch worker at the first emitted window."""
+    import pytest
+
+    from stdd_tpu.eval.features import FeatureCaptureScorer
+    from stdd_tpu.runtime.classifier import ClipScorer
+    from stdd_tpu.runtime.engine import StreamingEngine
+
+    scorer = ClipScorer.random_init(cfg=I3DConfig(num_frames=8, crop_size=64),
+                                    dtype=jnp.float32)
+    capture = FeatureCaptureScorer(scorer)
+    with pytest.raises(ValueError, match="score_windows"):
+        StreamingEngine(capture, lambda f: np.empty((0, 15), np.float32),
+                        device_resident=True)

@@ -73,6 +73,34 @@ def test_ring_uploader_surfaces_errors():
         up.submit(ring, np.zeros((1, 3, 3), np.uint8), 1, 1)
         with pytest.raises(RuntimeError):
             up.sync(ring)
+        assert ring.broken   # its HBM state is missing a frame
+    finally:
+        up.close()
+
+
+def test_ring_uploader_error_is_per_ring():
+    """Stream A's failed push must surface at A's sync only: B's sync must
+    pass clean, and A must be flagged broken (one shared error slot would
+    crash B while A went on scoring stale pixels silently)."""
+    k = RingKernels(R=4, S=16, yuv420=False)
+    up = RingUploader()
+    try:
+        ring_a = DeviceRing(k, uploader=up)
+        ring_b = DeviceRing(k, uploader=up)
+        for r in (ring_a, ring_b):
+            r.push(np.full((10, 10, 3), 1, np.uint8),
+                   np.array([0.0, 0, 10, 10]), np.zeros((5, 2)))
+            r.flush_staged()
+        up.submit(ring_a, np.zeros((1, 3, 3), np.uint8), 1, 1)  # bad shape
+        up.sync(ring_b)                    # unaffected peer
+        assert not ring_b.broken
+        with pytest.raises(RuntimeError):
+            up.sync(ring_a)
+        assert ring_a.broken
+        up.sync(ring_a)                    # error was consumed, not sticky
+        # bookkeeping is released on forget (id() reuse must not collide)
+        ring_a.close()
+        assert id(ring_a) not in up._pending and id(ring_a) not in up._errs
     finally:
         up.close()
 
@@ -138,6 +166,57 @@ def test_ring_lru_eviction():
         eng.step(fr)
     assert len(eng.rings) <= 2
     eng.flush()
+
+
+def test_ring_crowd_overflow_no_thrash():
+    """More live faces than max_rings: ringed tracks keep their rings
+    stable across frames (no LRU cascade), overflow tracks fall back to the
+    host-packed path — and EVERY track still produces clip scores."""
+    scorer = ClipScorer.random_init(cfg=SMALL_CFG, dtype=jnp.float32)
+    eng = StreamingEngine(
+        scorer, make_fake_detector(3), cfg=PIPE, crop_buffer=160,
+        q_lap_hard=0.0, q_lap_soft=0.0, q_weighting=False,
+        device_resident=True, max_rings=2,
+    )
+    ring_ids_at = {}
+    for i, fr in enumerate(_frames(20)):
+        eng.step(fr)
+        if i in (10, 19):
+            ring_ids_at[i] = {tid: id(r) for tid, r in eng.rings.items()}
+    eng.flush()
+    # the two ringed tracks kept the SAME ring objects (no re-creation churn)
+    assert ring_ids_at[10] == ring_ids_at[19], ring_ids_at
+    assert len(eng.rings) == 2
+    # all three faces scored: two through rings, one through packed fallback
+    assert len(eng.track_clip_scores) == 3, dict(eng.track_clip_scores)
+    for tid, scores in eng.track_clip_scores.items():
+        assert scores, (tid, dict(eng.track_clip_scores))
+
+
+def test_ring_broken_recovers():
+    """A ring whose upload failed (broken flag) is dropped and re-created on
+    the next step; the stream keeps scoring afterwards."""
+    scorer = ClipScorer.random_init(cfg=SMALL_CFG, dtype=jnp.float32)
+    eng = StreamingEngine(
+        scorer, make_fake_detector(1), cfg=PIPE, crop_buffer=160,
+        q_lap_hard=0.0, q_lap_soft=0.0, q_weighting=False,
+        device_resident=True,
+    )
+    frames = list(_frames(40))
+    for fr in frames[:12]:
+        eng.step(fr)
+    eng.flush()
+    n_before = sum(len(v) for v in eng.track_clip_scores.values())
+    assert n_before > 0
+    (tid, old_ring), = eng.rings.items()
+    old_ring.broken = True                 # simulate a failed H2D push
+    for fr in frames[12:]:
+        eng.step(fr)
+    eng.flush()
+    assert eng.rings[tid] is not old_ring  # dropped and re-created
+    assert not eng.rings[tid].broken
+    n_after = sum(len(v) for v in eng.track_clip_scores.values())
+    assert n_after > n_before              # scoring resumed on the new ring
 
 
 def test_ring_multiface_and_yuv420():

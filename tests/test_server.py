@@ -223,3 +223,17 @@ def test_shared_dispatch_validation():
     with pytest.raises(ValueError, match="group-root"):
         StreamingEngine(scorer, make_fake_detector(), cfg=PIPE,
                         share_dispatch_from=second, **ENG_KW)
+
+
+def test_server_ring_mode_defaults_to_eager_dispatch():
+    """In device-ring mode window dispatches carry no pixels, so the server
+    must inherit the engine's eager default (wait 0) instead of holding a
+    sparse call's window a whole stride for peers — that wait is pure p50
+    window latency."""
+    scorer = ClipScorer.random_init(cfg=SMALL_CFG, dtype=jnp.float32)
+    ring_srv = MultiStreamServer(scorer, cfg=PIPE, device_resident=True,
+                                 q_weighting=False, q_lap_hard=0.0)
+    assert ring_srv._root.max_batch_wait_frames == 0
+    packed_srv = MultiStreamServer(scorer, cfg=PIPE, device_resident=False,
+                                   q_weighting=False, q_lap_hard=0.0)
+    assert packed_srv._root.max_batch_wait_frames == PIPE.stride

@@ -3,10 +3,10 @@
 Covers the two round-2 scorer extensions:
 - ``align_clip(scales=...)`` / ``_score_impl(scale=...)``: crops stored
   pre-scaled per frame with unscaled geometry (the device-ring path);
-- ``clip_fit_drift`` + forced-path dispatch: one tilted face routes ONE
-  clip to the gather path instead of demoting the whole batch
-  (reference semantics: faster_crop_align_xray.py one-transform-per-clip;
-  VERDICT r1 #5).
+- ``clip_fit_drift`` + per-clip sub-batch routing: one tilted face demotes
+  only its own sub-batch — shipped path='auto' so the scorer's in-graph
+  envelope cond remains the correctness authority (reference semantics:
+  faster_crop_align_xray.py one-transform-per-clip; VERDICT r1 #5).
 """
 
 import numpy as np
@@ -110,8 +110,9 @@ def test_clip_fit_drift_matches_in_graph_envelope():
 
 
 class _RecordingScorer:
-    """Duck-typed scorer capturing which warp path each dispatch requested;
-    returns a distinct constant per path so routing is observable."""
+    """Duck-typed scorer capturing each dispatch's path + which side of the
+    drift band its valid clips sit on, so the router's grouping is
+    observable."""
 
     upload_format = "rgb"
     use_pallas_warp = True
@@ -123,9 +124,15 @@ class _RecordingScorer:
         self.calls = []
 
     def score_async(self, crops, boxes, lm5, valid, path="auto"):
-        self.calls.append((path, int(np.asarray(valid).sum())))
-        val = {"pallas": 0.25, "gather": 0.75}.get(path, 0.5)
-        return np.where(np.asarray(valid), val, 0.0).astype(np.float32)
+        n = int(np.asarray(valid).sum())
+        # the packed geometry is already pack-scaled, so scale=None here
+        drift = clip_fit_drift(
+            np.asarray(boxes)[:n], np.asarray(lm5)[:n],
+            SMALL_CFG.crop_size, template=np.asarray(self._template),
+        )
+        sides = {bool(d <= self.warp_band) for d in drift}
+        self.calls.append((path, n, sides))
+        return np.where(np.asarray(valid), 0.5, 0.0).astype(np.float32)
 
     def warmup(self, *a, **k):
         pass
@@ -153,6 +160,11 @@ def _two_pose_detector():
 
 
 def test_mixed_batch_routes_per_clip():
+    """A batch straddling the band is SPLIT into same-side sub-batches, and
+    every sub-batch ships path='auto' — the in-graph envelope cond stays the
+    correctness authority (the host drift probe is only a grouping hint), so
+    a near-band disagreement can never statically force the wrong warp, and
+    the warmed 'auto' executables cover everything the router dispatches."""
     scorer = _RecordingScorer(band=24)
     eng = StreamingEngine(
         scorer, _two_pose_detector(), cfg=PIPE, crop_buffer=160,
@@ -161,14 +173,14 @@ def test_mixed_batch_routes_per_clip():
     # sanity: the two tracks straddle the band
     for fr in [np.zeros((240, 320, 3), np.uint8)] * 12:
         eng.step(fr)
-    scored = eng.flush()
-    paths = {p for p, _ in scorer.calls}
-    assert paths == {"pallas", "gather"}, scorer.calls
-    per_track = {}
-    for tid, p in scored + [(t, p) for t, s in eng.track_clip_scores.items() for p in s]:
-        per_track.setdefault(tid, set()).add(round(p, 2))
-    # each track consistently scored through exactly one path
-    vals = sorted(v for s in per_track.values() for v in s)
-    assert set(vals) == {0.25, 0.75}, per_track
-    for s in per_track.values():
-        assert len(s) == 1, per_track
+    eng.flush()
+    assert scorer.calls, "nothing dispatched"
+    assert all(p == "auto" for p, _, _ in scorer.calls), scorer.calls
+    # no dispatch mixed in-band and out-of-band clips
+    for _, _, sides in scorer.calls:
+        assert len(sides) == 1, scorer.calls
+    # both sides of the band were actually scored (the out-of-envelope face
+    # was not dropped, and it did not drag its peer with it)
+    seen = {s for _, _, sides in scorer.calls for s in sides}
+    assert seen == {True, False}, scorer.calls
+    assert len(eng.track_clip_scores) == 2
