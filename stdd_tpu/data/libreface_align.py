@@ -9,9 +9,13 @@ standalone LibreFace AU CLI consumes.
 
 Here the dense landmarks come from :class:`models.facemesh.DenseLandmarker`
 (MediaPipe is not installable — see that module's docstring), detection
-from YuNet, and the warp from cv2. Deviation: the reference's out-of-frame
-padding applies a blurred/median fade (FFHQ cosmetic); we pad with
-BORDER_CONSTANT zeros — identical wherever the quad lies inside the frame.
+from YuNet, and the warp from cv2. Deviations: (a) the reference's
+out-of-frame padding applies a blurred/median fade (FFHQ cosmetic); we pad
+with BORDER_CONSTANT zeros — identical wherever the quad lies inside the
+frame; (b) the reference's ``image_align`` resizes to ``output_size`` but
+then overwrites the result (``out_image = img``) and so actually SAVES the
+``transform_size`` (512²) image — we honor ``output_size`` and save 256²
+(the AU transform downsamples to 256→224 either way).
 
 CLI::
 
@@ -112,14 +116,13 @@ def get_aligned_image(
 
         detector = YuNetTPU(conf_threshold=0.5)
 
-    H, W = img_rgb.shape[:2]
-    det_in = cv2.resize(img_rgb[:, :, ::-1], (320, 320))
-    rows = detector.detect_np(det_in)
+    from ..models.yunet import detect_scaled
+
+    rows = detect_scaled(detector, np.ascontiguousarray(img_rgb[:, :, ::-1]))
     if not rows.size:
         return None
     r = rows[np.argmax(rows[:, 14])]
-    sx, sy = W / 320.0, H / 320.0
-    tlbr = (r[0] * sx, r[1] * sy, (r[0] + r[2]) * sx, (r[1] + r[3]) * sy)
+    tlbr = (r[0], r[1], r[0] + r[2], r[1] + r[3])
 
     dense = landmarker(img_rgb, tlbr)
     lm72 = np.concatenate(
@@ -165,8 +168,10 @@ def main(argv=None):
 
         au = (AUExtractor.random_init() if args.au_ckpt == "random"
               else AUExtractor.from_torch_checkpoint(args.au_ckpt))
-        face224 = cv2.resize(aligned, (224, 224))
-        print("AUs:", au(face224[None])[0])
+        # the extractor owns the LibreFace transform (Resize 256 +
+        # CenterCrop 224): feed the aligned crop as-is — a pre-resize here
+        # would round-trip 256→224→256 and shift borderline activations
+        print("AUs:", au(aligned[None])[0])
     return 0
 
 

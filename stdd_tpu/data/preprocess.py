@@ -329,17 +329,9 @@ def main(argv=None):
     detector = YuNetTPU(model_path=args.yunet_model, conf_threshold=args.det_conf)
 
     def detect_fn(frame_bgr):
-        # fixed-size detection (one XLA executable) scaled back to the frame
-        import cv2
+        from ..models.yunet import detect_scaled
 
-        H, W = frame_bgr.shape[:2]
-        resized = cv2.resize(frame_bgr, (args.det_size, args.det_size))
-        rows = detector.detect_np(resized)
-        if rows.size:
-            rows = rows.copy()
-            rows[:, 0:14:2] *= W / args.det_size
-            rows[:, 1:14:2] *= H / args.det_size
-        return rows
+        return detect_scaled(detector, frame_bgr, args.det_size)
 
     au = None
     if args.au_ckpt == "random":

@@ -298,18 +298,9 @@ def build_engine(args):
     )
 
     def detect_fn(frame_bgr):
-        import cv2
+        from ..models.yunet import detect_scaled
 
-        H, W = frame_bgr.shape[:2]
-        tw, th = args.det_size, args.det_size
-        resized = cv2.resize(frame_bgr, (tw, th))
-        rows = detector.detect_np(resized)
-        if rows.size:
-            sx, sy = W / tw, H / th
-            rows = rows.copy()
-            rows[:, 0:14:2] *= sx
-            rows[:, 1:14:2] *= sy
-        return rows
+        return detect_scaled(detector, frame_bgr, args.det_size)
 
     engine = StreamingEngine(
         scorer, detect_fn, cfg=cfg, crop_buffer=args.crop_buffer,

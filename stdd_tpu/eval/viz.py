@@ -67,11 +67,13 @@ def visualize_tracks(image_bgr, tracks, probs: Optional[dict] = None):
     return out
 
 
-def draw_dense_landmarks(image_bgr, pts, color=(0, 200, 255)):
-    """Scatter a [N, 2] dense landmark set (FaceMesh layout)."""
+def draw_dense_landmarks(image_bgr, pts, color=(0, 200, 255), copy=True):
+    """Scatter a [N, 2] dense landmark set (FaceMesh layout). Returns an
+    annotated copy like the sibling visualize_* helpers (pass ``copy=False``
+    to draw onto ``image_bgr`` in place)."""
     import cv2
 
-    out = image_bgr
+    out = image_bgr.copy() if copy else image_bgr
     for x, y in np.asarray(pts, np.int32):
         cv2.circle(out, (int(x), int(y)), 1, color, -1)
     return out
@@ -109,20 +111,18 @@ def main(argv=None):
         tracker = ByteTracker(track_thresh=0.5, match_thresh=0.8,
                               track_buffer=30, split_low_scores=False)
 
-    def detect(frame_bgr):
-        H, W = frame_bgr.shape[:2]
-        rows = det.detect_np(cv2.resize(frame_bgr, (args.det_size, args.det_size)))
-        if rows.size:
-            rows = rows.copy()
-            rows[:, 0:14:2] *= W / args.det_size
-            rows[:, 1:14:2] *= H / args.det_size
-        return rows
+    from ..models.yunet import detect_scaled
 
     def annotate(frame_bgr):
-        rows = detect(frame_bgr)
-        if tracker is not None and rows.size:
-            tlbr = np.stack([rows[:, 0], rows[:, 1], rows[:, 0] + rows[:, 2],
-                             rows[:, 1] + rows[:, 3], rows[:, 14]], axis=1)
+        rows = detect_scaled(det, frame_bgr, args.det_size)
+        if tracker is not None:
+            # feed empty frames too: the tracker ages tracked→lost→removed
+            # by frame count, so a detection gap must still tick frame_id
+            # (else a new face later IoU-matches a stale box and inherits
+            # the dead track's id)
+            tlbr = (np.stack([rows[:, 0], rows[:, 1], rows[:, 0] + rows[:, 2],
+                              rows[:, 1] + rows[:, 3], rows[:, 14]], axis=1)
+                    if rows.size else np.zeros((0, 5), np.float32))
             live = tracker.update(tlbr)
             out = visualize_tracks(frame_bgr, live)
         else:
@@ -132,7 +132,7 @@ def main(argv=None):
             for r in rows.reshape(-1, 15):
                 pts = lm(frame_bgr[:, :, ::-1],
                          (r[0], r[1], r[0] + r[2], r[1] + r[3]))
-                draw_dense_landmarks(out, pts)
+                draw_dense_landmarks(out, pts, copy=False)   # out is ours
         return out
 
     img = cv2.imread(args.input)
@@ -153,7 +153,7 @@ def main(argv=None):
     try:
         while True:
             ok, frame = cap.read()
-            if not ok or (args.max_frames and n >= args.max_frames):
+            if not ok or (args.max_frames is not None and n >= args.max_frames):
                 break
             vw.write(annotate(frame))
             n += 1

@@ -118,3 +118,25 @@ class YuNetTPU:
         d = np.asarray(dets[0])
         m = np.asarray(mask[0])
         return d[m]
+
+
+def detect_scaled(det, frame_bgr: np.ndarray, det_size: int = 320) -> np.ndarray:
+    """Fixed-size detection scaled back to frame coordinates: resize the
+    frame to ``det_size``² (ONE XLA executable regardless of source
+    resolution), detect, and rescale the [N, 15] rows' box + landmark
+    columns to the original frame (the reference's resize-and-rescale
+    detection block, TEST2.py:502 / preprocessing_parallel.py:246 — shared
+    here by every CLI instead of five copies)."""
+    import cv2
+
+    if det_size % 32:
+        # the ONNX graph's stride-8/16/32 grids require divisible inputs;
+        # fail here with a clear message instead of a jit shape error
+        raise ValueError(f"det_size must be a multiple of 32 (got {det_size})")
+    H, W = frame_bgr.shape[:2]
+    rows = det.detect_np(cv2.resize(frame_bgr, (det_size, det_size)))
+    if rows.size:
+        rows = rows.copy()
+        rows[:, 0:14:2] *= W / det_size
+        rows[:, 1:14:2] *= H / det_size
+    return rows

@@ -206,15 +206,9 @@ def main(argv=None):
     det = YuNetTPU(conf_threshold=0.6)
 
     def detect_fn(frame_bgr):
-        import cv2
+        from ..models.yunet import detect_scaled
 
-        H, W = frame_bgr.shape[:2]
-        rows = det.detect_np(cv2.resize(frame_bgr, (320, 320)))
-        if rows.size:
-            rows = rows.copy()
-            rows[:, 0:14:2] *= W / 320.0
-            rows[:, 1:14:2] *= H / 320.0
-        return rows
+        return detect_scaled(det, frame_bgr, 320)
 
     cfg = PipelineConfig(
         clip_size=args.clip_size, stride=args.stride,
