@@ -189,7 +189,13 @@ class ByteTracker:
         self._next_id = 0
         self.tracked: List[Track] = []
         self.lost: List[Track] = []
-        self.removed: List[Track] = []
+        self.removed: List[Track] = []          # last frame's removals
+        # cumulative removed track_ids: reproduces the reference's
+        # sub_stracks(lost, removed_stracks) over its ever-growing object
+        # list (byte_tracker.py:362) — including the quirk that a removed-
+        # then-refound track is dropped from lost the moment it is lost
+        # again — while retaining only ints, not Track objects
+        self._removed_ids: set = set()
 
     def _new_id(self) -> int:
         self._next_id += 1
@@ -209,7 +215,8 @@ class ByteTracker:
                 removed.append(t)
         self.tracked = [t for t in self.tracked if t.state == TrackState.Tracked]
         self.lost = _subtract(self.lost, removed)
-        self.removed.extend(removed)
+        self.removed = removed
+        self._removed_ids.update(t.track_id for t in removed)
         self.tracked, self.lost = _dedup(self.tracked, self.lost)
         return []
 
@@ -305,7 +312,8 @@ class ByteTracker:
         self.tracked = _merge(self.tracked, refound)
         self.lost = _subtract(self.lost, self.tracked)
         self.lost.extend(newly_lost)
-        self.lost = _subtract(self.lost, self.removed)
-        self.removed.extend(removed)
+        self.lost = [t for t in self.lost if t.track_id not in self._removed_ids]
+        self.removed = removed
+        self._removed_ids.update(t.track_id for t in removed)
         self.tracked, self.lost = _dedup(self.tracked, self.lost)
         return [t for t in self.tracked if t.is_activated]

@@ -64,6 +64,8 @@ class DualTrainArgs:
     focal_gamma: float = 1.0
     focal_alpha: float = 0.45
     pos_weight: Optional[float] = None
+    # 'none' = per-clip main loss; 'track'/'video' = BCE/focal on per-group
+    # noisy-OR logits within the batch (reference train_agg, engine.py:517)
     train_agg: str = "none"
     lam_align: float = 0.05
     lam_uniform: float = 0.005
@@ -175,7 +177,29 @@ def make_dual_train_step(model: DualEncoderAU_LMK, tx, args: DualTrainArgs):
         )
         bin_logits = head_out["bin_logits"]
 
-        if args.focal:
+        if args.train_agg != "none" and "grp" in batch:
+            # aggregated main objective (engine.py:517-567): BCE/focal on
+            # per-GROUP logits — noisy-OR in logit space over the group's
+            # clips within the batch (group = track or video, dense ids
+            # computed host-side). A group is fake if any clip is fake.
+            from .losses import noisy_or_group_logits
+
+            B = bin_logits.shape[0]
+            g = batch["grp"].astype(jnp.int32)
+            g_logits = noisy_or_group_logits(bin_logits, g, B)
+            cnt = jax.ops.segment_sum(jnp.ones((B,), jnp.float32), g,
+                                      num_segments=B)
+            g_y = jax.ops.segment_max(y, g, num_segments=B)
+            if args.focal:
+                per = binary_focal_loss(g_logits, g_y, args.focal_gamma,
+                                        args.focal_alpha, reduction="none")
+            else:
+                per = bce_with_logits(g_logits, g_y,
+                                      pos_weight=args.pos_weight,
+                                      reduction="none")
+            main = (jnp.sum(jnp.where(cnt > 0, per, 0.0))
+                    / jnp.maximum(jnp.sum(cnt > 0), 1.0))
+        elif args.focal:
             main = binary_focal_loss(bin_logits, y, args.focal_gamma, args.focal_alpha)
         else:
             main = bce_with_logits(bin_logits, y, pos_weight=args.pos_weight)
@@ -345,6 +369,17 @@ def train_dual(
     params = variables["params"]
     state = TrainState(params, {}, tx.init(params), jnp.zeros((), jnp.int32))
 
+    agg_key = {"track": "trk", "video": "vid"}.get(args.train_agg)
+    if args.train_agg != "none":
+        if agg_key is None:
+            raise ValueError(
+                f"train_agg must be 'none', 'track' or 'video' (got "
+                f"{args.train_agg!r})")
+        if agg_key not in train_data:
+            raise ValueError(
+                f"train_agg={args.train_agg!r} needs train_data[{agg_key!r}] "
+                "group ids (dataset batches carry them — see data/dataset.py)")
+
     labels = dual_labels(params)
     step_fn = make_dual_train_step(model, tx, args)
     eval_fn = make_eval_fn(model)
@@ -382,14 +417,22 @@ def train_dual(
                 batch["lengths"] = jnp.asarray(train_data["lengths"][idx])
             if "dom_id" in train_data:
                 batch["dom_id"] = jnp.asarray(train_data["dom_id"][idx])
+            if agg_key is not None:
+                # dense [0, B) group ids for the jitted segment ops
+                _, dense = np.unique(train_data[agg_key][idx],
+                                     return_inverse=True)
+                batch["grp"] = jnp.asarray(dense, jnp.int32)
             state, parts = step_fn(state, batch, active, jnp.float32(dat_lam), rng)
-            ep_loss.append(float(parts["loss"]))
+            # keep the device array — a float() here would sync every step
+            # and serialize host batch prep against device compute
+            ep_loss.append(parts["loss"])
 
         val_logits, val_y = collect_logits(eval_fn, state.params, val_data)
         vm = M.metrics_from_logits(val_logits, val_y)
         thr, _ = M.threshold_from_roc(
             vm["probs"], val_y, metric=args.threshold_metric, target_fpr=args.target_fpr
         )
+        ep_loss = [float(l) for l in ep_loss]   # one sync point per epoch
         history.append(
             {"epoch": epoch, "phase": phase, "loss": float(np.mean(ep_loss or [0])),
              "val_auc": vm["roc_auc"], "val_acc": vm["acc"], "thr": thr}

@@ -62,6 +62,24 @@ def _is_bn_path(path) -> bool:
     return any(getattr(p, "key", str(p)) == "bn" for p in path)
 
 
+def _trace_with_dampening(decay: float, dampening: float) -> optax.GradientTransformation:
+    """torch.optim.SGD momentum with dampening: buf = decay·buf +
+    (1−dampening)·grad (SOLVER.DAMPENING, slowfast/models/optimizer.py —
+    optax.trace has no dampening knob). torch forbids nesterov+dampening."""
+
+    def init(params):
+        return optax.TraceState(trace=jax.tree.map(jnp.zeros_like, params))
+
+    def update(updates, state, params=None):
+        del params
+        new_trace = jax.tree.map(
+            lambda t, g: decay * t + (1.0 - dampening) * g, state.trace, updates
+        )
+        return new_trace, optax.TraceState(trace=new_trace)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_i3d_optimizer(params, args: I3DTrainArgs, lr_schedule) -> optax.GradientTransformation:
     """SGD-momentum / Adam with weight decay masked off BN parameters
     (construct_optimizer semantics)."""
@@ -76,8 +94,14 @@ def make_i3d_optimizer(params, args: I3DTrainArgs, lr_schedule) -> optax.Gradien
         if args.bn_weight_decay:
             is_bn = jax.tree.map(lambda m: not m, not_bn)
             chain.append(optax.add_decayed_weights(args.bn_weight_decay, mask=is_bn))
+        if args.dampening:
+            if args.nesterov:
+                raise ValueError("nesterov requires dampening=0 (torch SGD)")
+            mom = _trace_with_dampening(args.momentum, args.dampening)
+        else:
+            mom = optax.trace(decay=args.momentum, nesterov=args.nesterov)
         chain += [
-            optax.trace(decay=args.momentum, nesterov=args.nesterov),
+            mom,
             optax.scale_by_learning_rate(lr_schedule),
         ]
     else:

@@ -3,7 +3,8 @@
 Epoch-continuous schedules: cosine and steps_with_relative_lrs, both with a
 linear warmup from ``warmup_start_lr``. Returned as callables over the
 *fractional epoch* (step / steps_per_epoch), exactly like the reference's
-``get_epoch_lr``; ``as_optax_schedule`` adapts them to per-step optax form.
+``get_epoch_lr``; ``engine_i3d.make_lr_schedule`` precomputes the per-step
+table that bridges them into jittable optax form.
 """
 
 from __future__ import annotations
@@ -22,15 +23,20 @@ def cosine_lr(base_lr: float, max_epoch: float) -> Callable[[float], float]:
 def steps_with_relative_lrs(
     base_lr: float, steps: Sequence[float], lrs: Sequence[float], max_epoch: float
 ) -> Callable[[float], float]:
-    """Piecewise-constant relative LRs over epoch milestones
-    (lr_policy.py:52 get_step_index)."""
+    """Piecewise-constant relative LRs over epoch milestones, mirroring the
+    reference index convention exactly (lr_policy.py:60,:75): ``steps``
+    carries a LEADING ZERO (the convention multigrid.lr_boundaries emits,
+    with len(lrs) == len(steps)) and the LR for the first epoch with
+    ``cur_epoch < steps[ind]`` is ``lrs[ind - 1]``."""
     bounds = list(steps) + [max_epoch]
 
     def fn(cur_epoch: float) -> float:
+        ind = len(bounds) - 1
         for i, b in enumerate(bounds):
             if cur_epoch < b:
-                return base_lr * lrs[i]
-        return base_lr * lrs[-1]
+                ind = i
+                break
+        return base_lr * lrs[ind - 1]
 
     return fn
 
@@ -63,28 +69,3 @@ def with_warmup(
     return fn
 
 
-def as_optax_schedule(policy: Callable[[float], float], steps_per_epoch: int):
-    """Adapt an epoch-based policy to an optax per-step schedule."""
-    import jax.numpy as jnp
-
-    def sched(step):
-        # piecewise evaluation must stay jittable: host-precompute a table
-        raise NotImplementedError
-
-    # precompute a dense table: one LR per step is overkill; per-iteration
-    # granularity matches the reference's per-iter cosine
-    def make(total_steps: int):
-        import numpy as np
-
-        table = jnp.asarray(
-            [policy(s / steps_per_epoch) for s in range(total_steps + 1)],
-            dtype=jnp.float32,
-        )
-
-        def sched_fn(step):
-            idx = jnp.minimum(step, total_steps).astype(jnp.int32)
-            return table[idx]
-
-        return sched_fn
-
-    return make

@@ -35,11 +35,17 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--epoch_samples", type=int, default=120000)
     ap.add_argument("--heldout_tech", default=None)
     ap.add_argument("--focal", action="store_true")
-    ap.add_argument("--dat", action="store_true", default=True)
+    # BooleanOptionalAction: --dat/--no-dat (a store_true with default=True
+    # could never be switched off, silently invalidating ablations)
+    ap.add_argument("--dat", action=argparse.BooleanOptionalAction, default=True)
     ap.add_argument("--dat_lambda", type=float, default=0.1)
     ap.add_argument("--lam_align", type=float, default=0.05)
     ap.add_argument("--lam_uniform", type=float, default=0.005)
-    ap.add_argument("--slerp", action="store_true", default=True)
+    ap.add_argument("--slerp", action=argparse.BooleanOptionalAction, default=True)
+    ap.add_argument("--train_agg", default="none",
+                    choices=["none", "track", "video"],
+                    help="aggregated main loss: noisy-OR over the group's "
+                         "clips in the batch (reference engine.py:517)")
     ap.add_argument("--altfreeze", type=int, default=0)
     ap.add_argument("--patience", type=int, default=10)
     ap.add_argument("--seed", type=int, default=123)
@@ -105,6 +111,7 @@ def main(argv=None):
     targs = DualTrainArgs(
         epochs=args.epochs, batch=args.batch, lr=args.lr, wd=args.wd,
         focal=args.focal, dat=args.dat, dat_lambda=args.dat_lambda,
+        train_agg=args.train_agg,
         lam_align=args.lam_align, lam_uniform=args.lam_uniform, slerp=args.slerp,
         altfreeze=AltFreezeCfg(enabled=bool(args.altfreeze)),
         patience=args.patience, seed=args.seed,
@@ -122,7 +129,10 @@ def main(argv=None):
                 for i in range(len(test["y"]))]
         report = evaluate_checkpoint(
             model, res["params"], test, meta,
-            threshold=res["best_threshold"], temperature=res["temperature"],
+            # evaluate_checkpoint thresholds temperature-SCALED probs, so it
+            # must get the threshold selected on scaled probs
+            # (engine_dual.py:419), not best_threshold (selected unscaled)
+            threshold=res["threshold_calibrated"], temperature=res["temperature"],
             bootstrap=2000, out_path=os.path.join(args.out, "report_median.json"),
         )
         log.info(f"test: clip_auc={report['clip_metrics']['auc_roc']:.4f} "

@@ -35,7 +35,9 @@ def main(argv=None):
     ap.add_argument("--max_to_keep", type=int, default=5)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--ftcn", action="store_true", help="use the FTCN variant")
-    ap.add_argument("--bf16", action="store_true", default=True)
+    # BooleanOptionalAction: --bf16/--no-bf16 (a store_true with default
+    # True has no off switch, making fp32 parity runs unreachable)
+    ap.add_argument("--bf16", action=argparse.BooleanOptionalAction, default=True)
     ap.add_argument("--seed", type=int, default=0)
     # multi-device / multi-host: --mesh shards the (global) batch over all
     # visible devices via GSPMD (replicated params, XLA-inserted grad
@@ -159,10 +161,21 @@ def main(argv=None):
         last = find_last(args.out, "i3d")
         if last:
             start_epoch, path = last
-            tree = load_checkpoint(path, {"params": state.params,
-                                          "batch_stats": state.batch_stats})
+            try:
+                tree = load_checkpoint(path, {"params": state.params,
+                                              "batch_stats": state.batch_stats,
+                                              "opt_state": state.opt_state})
+                opt_state = tree["opt_state"]
+            except (KeyError, ValueError):
+                # pre-opt-state checkpoint layout: restore what exists and
+                # warn — SGD momentum restarts from zero on this resume
+                tree = load_checkpoint(path, {"params": state.params,
+                                              "batch_stats": state.batch_stats})
+                opt_state = state.opt_state
+                log.warning("checkpoint has no optimizer state; momentum "
+                            "restarts from zero")
             state = state.__class__(tree["params"], tree["batch_stats"],
-                                    state.opt_state, jnp.asarray(start_epoch * steps_per_epoch))
+                                    opt_state, jnp.asarray(start_epoch * steps_per_epoch))
             log.info(f"resumed from epoch {start_epoch}")
 
     def _eval_fwd_impl(params, batch_stats, clips):
@@ -241,7 +254,12 @@ def main(argv=None):
                 val_meter.update(vm["roc_auc"], epoch)
         if pi == 0:   # params are replicated — one host persists them
             save_checkpoint(args.out, "i3d", epoch + 1,
-                            {"params": state.params, "batch_stats": state.batch_stats},
+                            {"params": state.params,
+                             "batch_stats": state.batch_stats,
+                             # SGD momentum must survive preemption: a
+                             # resume without it bumps the loss and diverges
+                             # from the uninterrupted trajectory
+                             "opt_state": state.opt_state},
                             max_to_keep=args.max_to_keep)
     return state
 

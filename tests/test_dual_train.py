@@ -58,6 +58,41 @@ def test_train_dual_learns():
     assert 0.25 <= res["temperature"] <= 20.0
 
 
+def _coherent_tracks(d, T=8, seed=7):
+    """Relabel so every clip of a track shares the track's label (the
+    aggregated objective's natural data shape) and re-inject the signal."""
+    y = (np.asarray(d["trk"]) % 2).astype(np.float32)
+    rng = np.random.RandomState(seed)
+    d["A"] = (rng.randn(*d["A"].shape) * 0.5).astype(np.float32)
+    d["L"] = (rng.randn(*d["L"].shape) * 0.5).astype(np.float32)
+    flicker = ((-1.0) ** np.arange(T))[None, :, None]
+    d["A"][y == 1, :, :3] += 1.2 * flicker
+    d["L"][y == 1, :, :5] += 1.2 * flicker
+    d["y"] = y
+    d["tech"] = ["df" if t else "real" for t in y.astype(int)]
+    return d
+
+
+def test_train_dual_track_aggregated_loss_learns():
+    """train_agg='track': the main loss is BCE on per-track noisy-OR logits
+    over each track's clips in the batch (reference engine.py:517-567)."""
+    train = _coherent_tracks(_synth(512, seed=0), seed=7)
+    val = _coherent_tracks(_synth(128, seed=1), seed=8)
+    model = DualEncoderAU_LMK(au_dim=12, lmk_dim=20, d_model=32, depth=1,
+                              heads=2, use_dat=False)
+    args = DualTrainArgs(
+        epochs=4, batch=64, lr=2e-3, slerp=False, dat=False,
+        lam_align=0.0, lam_uniform=0.0, patience=10, train_agg="track",
+    )
+    res = train_dual(model, train, val, args, log=lambda s: None)
+    assert res["best_val_auc"] > 0.9, res["best_val_auc"]
+
+    # misconfiguration is loud: asking for aggregation without group ids
+    bad = {k: v for k, v in train.items() if k != "trk"}
+    with pytest.raises(ValueError, match="trk"):
+        train_dual(model, bad, val, args, log=lambda s: None)
+
+
 def test_altfreeze_phases():
     cfg = AltFreezeCfg(enabled=True, warmup_epochs=2, period=2, joint_tail=2, start_epoch=1)
     phases = [dual_phase(cfg, e, 12) for e in range(1, 13)]

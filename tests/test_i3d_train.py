@@ -34,8 +34,12 @@ def test_lr_policies():
     assert pol(100) == pytest.approx(0.0, abs=1e-9)
     sd = step_decay(0.04, step_size=100, gamma=0.5)
     assert sd(99) == 0.04 and sd(150) == 0.02
-    sw = steps_with_relative_lrs(0.1, [30, 60], [1.0, 0.1, 0.01], 90)
+    # reference convention (lr_policy.py:75 get_step_index): steps carry a
+    # leading zero, len(lrs) == len(steps), segment i in [steps[i],
+    # steps[i+1]) uses lrs[i]
+    sw = steps_with_relative_lrs(0.1, [0, 30, 60], [1.0, 0.1, 0.01], 90)
     assert sw(10) == pytest.approx(0.1) and sw(40) == pytest.approx(0.01)
+    assert sw(70) == pytest.approx(0.001)   # last segment must be indexable
 
 
 def test_i3d_altfreeze_training_runs_and_alternates():

@@ -137,6 +137,14 @@ def test_multigrid_schedule():
     # LR boundaries: one value per cycle + doubled tail
     steps, lrs = sched.lr_boundaries()
     assert len(lrs) == len(sched.schedule) + 1 and len(steps) == len(sched.schedule) + 1
+    # the boundaries wire straight into the step policy (same convention:
+    # leading zero, len(lrs) == len(steps)) — first cycle gets lrs[0] and
+    # the tail segment is indexable
+    from stdd_tpu.train.lr_policy import steps_with_relative_lrs
+
+    pol = steps_with_relative_lrs(1.0, steps, lrs, max_epoch=steps[-1] + 10)
+    assert pol(0.0) == pytest.approx(lrs[0])
+    assert pol(steps[-1] + 5) == pytest.approx(lrs[-1])
     # short cycle spatial pattern
     cfg2 = MultigridConfig(short_cycle=True)
     sched2 = MultigridSchedule(cfg2)
