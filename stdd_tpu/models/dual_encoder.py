@@ -57,11 +57,19 @@ def sinusoidal_pe(T: int, d_model: int) -> jnp.ndarray:
 
 
 def lengths_to_mask(lengths: jnp.ndarray, T: int) -> jnp.ndarray:
-    """[B] int lengths or [B,T] validity (1=valid) → [B,T] bool, True = PAD."""
+    """[B] int lengths or [B,T] validity (1=valid) → [B,T] bool, True = PAD.
+
+    Empty rows keep token 0 valid — the reference's ``lengths.clamp_min(1)``
+    (dual_encoder.py:48): an all-PAD row would otherwise degrade attention
+    and AttentionPooling to a uniform average over garbage tokens. Applied
+    HERE so every consumer (DualEncoderAU_LMK, LMKDisc, DualEncoderRGB)
+    shares the semantics, not just the model that adds its own unlock."""
     if lengths.ndim == 2:
-        return lengths == 0
+        pad = lengths == 0
+        all_pad = pad.all(axis=1)
+        return pad.at[:, 0].set(jnp.where(all_pad, False, pad[:, 0]))
     ar = jnp.arange(T)[None, :]
-    return ar >= lengths[:, None]
+    return ar >= jnp.maximum(lengths, 1)[:, None]
 
 
 class AttentionPooling(nn.Module):

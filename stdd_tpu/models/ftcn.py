@@ -275,7 +275,9 @@ class FTCN(nn.Module):
                     name=f"s{si + 2}/pathway0_res{bi}",
                     **common,
                 )(x, train)
-            if si == 0 and c.t_pool_after_s2 > 1:
+            if si == 0 and c.t_pool_after_s2 > 1 and c.stop_point > 3:
+                # stop_point==3 replaces pathway0_pool with Identity in the
+                # reference (:320) — its head table expects time_size=32
                 x = max_pool_3d(
                     x, (c.t_pool_after_s2, 1, 1), (c.t_pool_after_s2, 1, 1),
                     [(0, 0), (0, 0), (0, 0)],

@@ -463,7 +463,9 @@ class ResBlock(nn.Module):
         return fused_bottleneck(
             x, wa, ba, wb, bb, wc, bc, ws, bs, tk=tk,
             tile_t=tile_t, tile_h=tile_h,
-            interpret=jax.default_backend() == "cpu",
+            # Mosaic kernels only lower on TPU; interpret everywhere else
+            # (CPU tests, GPU backends) so the model stays loadable
+            interpret=jax.default_backend() != "tpu",
             out_dtype=self.dtype,
         ).astype(self.dtype)
 

@@ -129,7 +129,10 @@ def prepare_feed(img_rgb: np.ndarray, box) -> Tuple[np.ndarray, Tuple[int, int, 
         crop = cv2.copyMakeBorder(crop, dy, edy, dx, edx, cv2.BORDER_CONSTANT, value=0)
     feed = cv2.resize(crop, (224, 224)).astype(np.float32) / 255.0
     feed = (feed - IMAGENET_MEAN01) / IMAGENET_STD01
-    return feed, (x1, y1, x2, y2)
+    # the reference reprojects with the border-CLAMPED box (predictor.py:68
+    # new_bbox), not the pre-clamp square — they differ whenever the 1.2x
+    # crop extends past the frame
+    return feed, (x1c, y1c, x2c, y2c)
 
 
 def reproject(crop_box, landmarks_norm: np.ndarray) -> np.ndarray:

@@ -148,15 +148,37 @@ class OnnxModule:
         k = tuple(node.attrs.get("kernel_shape", [2, 2]))
         s = tuple(node.attrs.get("strides", k))
         pads = node.attrs.get("pads", [0, 0, 0, 0])
+        pad_hw = [(pads[0], pads[2]), (pads[1], pads[3])]
+        if int(node.attrs.get("ceil_mode", 0)):
+            # pad up so the window count rounds up (as in _op_maxpool); the
+            # extra rows are excluded from the divisor below like any pad
+            h, w = x.shape[2], x.shape[3]
+            for i, (dim, kk, ss) in enumerate(((h, k[0], s[0]), (w, k[1], s[1]))):
+                eff = dim + pad_hw[i][0] + pad_hw[i][1]
+                rem = (eff - kk) % ss
+                if rem:
+                    pad_hw[i] = (pad_hw[i][0], pad_hw[i][1] + (ss - rem))
+        pad = [(0, 0), (0, 0)] + pad_hw
         out = jax.lax.reduce_window(
-            x,
-            0.0,
-            jax.lax.add,
+            x, 0.0, jax.lax.add,
             window_dimensions=(1, 1) + k,
             window_strides=(1, 1) + s,
-            padding=[(0, 0), (0, 0), (pads[0], pads[2]), (pads[1], pads[3])],
+            padding=pad,
         )
-        return out / (k[0] * k[1])
+        if int(node.attrs.get("count_include_pad", 0)) or not any(
+            p for hw in pad for p in hw
+        ):
+            return out / (k[0] * k[1])
+        # ONNX default count_include_pad=0: divide each window by the number
+        # of NON-pad elements (count via the same reduce over a ones image)
+        ones = jnp.ones((1, 1) + x.shape[2:], x.dtype)
+        counts = jax.lax.reduce_window(
+            ones, 0.0, jax.lax.add,
+            window_dimensions=(1, 1) + k,
+            window_strides=(1, 1) + s,
+            padding=pad,
+        )
+        return out / counts
 
     def _op_globalaveragepool(self, node, inputs):
         return jnp.mean(inputs[0], axis=(2, 3), keepdims=True)

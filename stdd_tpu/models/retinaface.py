@@ -39,10 +39,6 @@ CFG_MNET = {
 BGR_MEAN = np.array([104.0, 117.0, 123.0], np.float32)
 
 
-def _leaky(x, slope):
-    return jnp.where(x >= 0, x, slope * x)
-
-
 class ConvBN(nn.Module):
     """3x3 conv → BN → optional LeakyReLU (alignment.py:12 conv_bn /
     :20 conv_bn_no_relu)."""
@@ -64,7 +60,7 @@ class ConvBN(nn.Module):
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn")(x)
         if self.leaky is not None:
-            x = _leaky(x, self.leaky)
+            x = jax.nn.leaky_relu(x, negative_slope=self.leaky)
         return x
 
 
@@ -240,7 +236,8 @@ class RetinaFaceDetector:
                  boxes[:, 3] - boxes[:, 1]], axis=1,
             )
             keep, mask = nms_fixed(
-                xywh, scores, self.nms_threshold, self.conf_threshold, self.top_k
+                xywh, scores, self.nms_threshold, self.conf_threshold,
+                self.top_k, plus1=True,   # py_cpu_nms pixel convention
             )
             det = jnp.concatenate(
                 [boxes[keep], scores[keep, None], lms[keep]], axis=1

@@ -98,7 +98,9 @@ class DecoderBlock(nn.Module):
             common = dict(
                 dim_out=self.features, dim_inner=self.features // 2,
                 temp_kernel_size=3, stride=1, zero_init_final_bn=False,
-                bn_eps=1e-5, bn_momentum=0.9, axis_name=None,
+                # torch convention (Conv3dBN flips it to flax decay 0.9):
+                # the reference ResDecoderBlock uses bn_mmt=0.1
+                bn_eps=1e-5, bn_momentum=0.1, axis_name=None,
                 dtype=self.dtype,
             )
             x = ResBlock(dim_in=x.shape[-1], name="conv1", **common)(x, train)
@@ -263,8 +265,12 @@ class ResUNet3D(nn.Module):
         masks = jnp.concatenate(masks, axis=-1)   # [B,T,H/4,W/4,n_labels]
 
         # verdict: spatial mean ×100 → Linear (:1331-1334); Common-family
-        # reshapes per label (:2258-2260) instead of flattening
-        pooled = jnp.mean(masks, axis=(2, 3)).reshape(-1, 1) * 100.0
+        # reshapes per label (:2258-2260) instead of flattening. The
+        # reference pools channels-first [B,C=n_labels,T,H,W].mean([3,4])
+        # and flattens LABEL-major — transpose before reshape so row order
+        # is (b, label, t), not (b, t, label)
+        pooled = jnp.mean(masks, axis=(2, 3))            # [B, T, n_labels]
+        pooled = jnp.transpose(pooled, (0, 2, 1)).reshape(-1, 1) * 100.0
         out = nn.Dense(var.class_features, name="linear")(pooled)
         if var.class_per_label:
             out = out.reshape(masks.shape[0], len(labels), -1)

@@ -44,23 +44,39 @@ def iou_matrix_xyxy(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return iou_matrix_xywh(aw, bw)
 
 
-@partial(jax.jit, static_argnames=("max_out",))
+@partial(jax.jit, static_argnames=("max_out", "plus1"))
 def nms_fixed(
     boxes: jnp.ndarray,     # [N, 4] (x, y, w, h)
     scores: jnp.ndarray,    # [N]
     iou_threshold: float,
     score_threshold: float,
     max_out: int,
+    plus1: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy NMS with a fixed output capacity.
 
     Returns ``(keep_idx [max_out] int32, keep_mask [max_out] bool)`` —
     indices of survivors in score order, padded with 0 where mask is False.
     Matches cv2.dnn.NMSBoxes: score filter → greedy IoU suppression.
+    ``plus1`` switches to py_cpu_nms's integer-pixel convention
+    (alignment.py:313: areas (w+1)(h+1), inter width +1) — for small boxes
+    the IoU differs by several percent, flipping near-threshold pairs.
     """
     n = boxes.shape[0]
     alive = scores > score_threshold
-    iou = iou_matrix_xywh(boxes, boxes)
+    if plus1:
+        x1, y1 = boxes[:, 0], boxes[:, 1]
+        x2, y2 = boxes[:, 0] + boxes[:, 2], boxes[:, 1] + boxes[:, 3]
+        ix1 = jnp.maximum(x1[:, None], x1[None, :])
+        iy1 = jnp.maximum(y1[:, None], y1[None, :])
+        ix2 = jnp.minimum(x2[:, None], x2[None, :])
+        iy2 = jnp.minimum(y2[:, None], y2[None, :])
+        inter = jnp.maximum(ix2 - ix1 + 1.0, 0.0) * jnp.maximum(iy2 - iy1 + 1.0, 0.0)
+        area = (boxes[:, 2] + 1.0) * (boxes[:, 3] + 1.0)
+        union = area[:, None] + area[None, :] - inter
+        iou = jnp.where(union > 0, inter / union, 0.0)
+    else:
+        iou = iou_matrix_xywh(boxes, boxes)
 
     def body(state, _):
         alive, = state

@@ -100,6 +100,17 @@ def warp_clip_pallas(
 ) -> jnp.ndarray:
     N, H, W, C = crops.shape
     planar = crops.astype(jnp.float32).transpose(0, 3, 1, 2)  # [N, 3, H, W]
+    # pad H to a multiple of 8 and at least `band`: the kernel clamps the
+    # band start to [0, H-band] then aligns DOWN to a multiple of 8 (Mosaic
+    # sublane-slice requirement) — with 8-aligned H the clamp bound stays
+    # aligned, so the band always reaches the bottom row (a non-aligned H
+    # silently dropped up to H%8 bottom rows; H<band made the clamp bound
+    # negative). Zero rows are exactly the gather path's zero canvas.
+    assert band % 8 == 0, band
+    H_pad = max(-(-H // 8) * 8, band)
+    if H_pad != H:
+        planar = jnp.pad(planar, ((0, 0), (0, 0), (0, H_pad - H), (0, 0)))
+        H = H_pad
     kernel = functools.partial(_warp_kernel, out_size=out_size, band=band)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,     # params land in SMEM, fully visible

@@ -86,8 +86,12 @@ def test_grad_reverse():
 def test_lengths_to_mask_variants():
     m = lengths_to_mask(jnp.asarray([3, 1]), 4)
     assert m.tolist() == [[False, False, False, True], [False, True, True, True]]
+    # empty rows keep token 0 valid in BOTH input forms — the reference's
+    # lengths.clamp_min(1) (dual_encoder.py:48), shared by every consumer
+    m0 = lengths_to_mask(jnp.asarray([2, 0]), 3)
+    assert m0.tolist() == [[False, False, True], [False, True, True]]
     m2 = lengths_to_mask(jnp.asarray([[1, 1, 0], [0, 0, 0]]), 3)
-    assert m2.tolist() == [[False, False, True], [True, True, True]]
+    assert m2.tolist() == [[False, False, True], [False, True, True]]
 
 
 def test_all_pad_unlock():

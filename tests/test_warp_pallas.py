@@ -138,3 +138,21 @@ def test_scorer_rotation_envelope_falls_back_to_gather():
         clf.warp_clip_pallas = orig
     # the cond must have selected the gather branch → exact agreement
     np.testing.assert_allclose(p_pal, p_ref, atol=1e-6)
+
+
+@pytest.mark.parametrize("H", [100, 24])
+def test_pallas_warp_unaligned_height(H):
+    """Crop heights that are not multiples of 8 (or smaller than the band)
+    must match the gather path: the kernel's 8-aligned band-start clamp used
+    to silently drop up to H%8 bottom source rows (and computed a negative
+    slice start for H < band). The wrapper now zero-pads H — identical to
+    the gather's zero canvas."""
+    crops, diffs, tfm, S = _setup(seed=1, H=H, W=128, S=64, rot_scale=0.2)
+    want = np.asarray(warp_clip_bilinear(jnp.asarray(crops), tfm, jnp.asarray(diffs), S))
+    params = pack_warp_params(tfm, jnp.asarray(diffs))
+    got = np.asarray(
+        warp_clip_pallas(jnp.asarray(crops), params, out_size=S, interpret=True)
+    )
+    err = np.abs(got - want)
+    assert err.max() < 1.0, (H, err.max())
+    assert err.mean() < 0.25
