@@ -250,3 +250,35 @@ def sub_to_normal_bn(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
             arr = arr[:, 0, 0, 0]
         new_sd[k] = arr
     return new_sd
+
+
+def resunet_torch_to_flax(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """Map a reference ResUNet* state dict (video_model_builder.py:1128-2742)
+    onto :class:`stdd_tpu.models.unet3d.ResUNet3D` variables.
+
+    The encoder (s1..s4) follows the same naming as the I3D converter; the
+    per-label decoders are torch Sequentials whose integer indices map onto
+    the flax module names:
+
+    - ``t{4,3}_{label}.conv{1,2}.0/.1`` (Conv3dReLU) → ``conv{i}/Conv_0`` +
+      ``conv{i}/BatchNorm_0``
+    - ``conv1x1_{label}.0/.1/.3`` (mask head) → ``conv1``/``bn``/``conv2``
+      (single-conv heads have only ``.0`` → ``conv1``)
+    - ``linear`` or ``linear.0`` (verdict head) → ``linear``
+    """
+    renamed: Dict[str, Any] = {}
+    for key, val in state_dict.items():
+        k = _strip_prefixes(key)
+        parts = k.split(".")
+        head = parts[0]
+        if head.startswith(("t4_", "t3_")):
+            # t4_all.conv1.{0,1}.*  ->  t4_all.conv1.{Conv_0,BatchNorm_0}.*
+            parts[2] = {"0": "Conv_0", "1": "BatchNorm_0"}[parts[2]]
+            k = ".".join(parts)
+        elif head.startswith("conv1x1_"):
+            seq = {"0": "conv1", "1": "bn", "3": "conv2"}[parts[1]]
+            k = ".".join([parts[0], seq] + parts[2:])
+        elif head == "linear" and parts[1] in ("0",):
+            k = ".".join([parts[0]] + parts[2:])
+        renamed[k] = val
+    return i3d_torch_to_flax(renamed)

@@ -182,3 +182,26 @@ def build_reference_i3d(num_frames=32, crop_size=224, num_classes=1, seed=0):
     model = ResNet(_make_cfg(num_frames, crop_size, num_classes))
     model.eval()
     return model
+
+
+def build_reference_resunet(cls_name: str, num_frames=4, crop_size=32,
+                            labels=("rotate", "light", "skip"), seed=0):
+    """Return a reference torch ResUNet* variant in eval mode
+    (video_model_builder.py:1812 ResUNetContinus / :2046 ResUNetCommon …)."""
+    _install_fvcore_stub()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    import torch
+    from fvcore.common.config import CfgNode
+
+    torch.manual_seed(seed)
+    cfg = _make_cfg(num_frames, crop_size, 1)
+    cfg.JITTER = CfgNode(ENABLE=False)
+    cfg.DATA.TRAIN_CROP_SIZE = crop_size
+    cfg.DATA.TEST_CROP_SIZE = crop_size
+    cfg.RESNET.LABELS = list(labels)
+    import slowfast.models.video_model_builder as vmb
+
+    model = getattr(vmb, cls_name)(cfg)
+    model.eval()
+    return model
