@@ -271,8 +271,10 @@ def resunet_torch_to_flax(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
         k = _strip_prefixes(key)
         parts = k.split(".")
         head = parts[0]
-        if head.startswith(("t4_", "t3_")):
+        if head.startswith(("t4_", "t3_")) and parts[2] in ("0", "1"):
             # t4_all.conv1.{0,1}.*  ->  t4_all.conv1.{Conv_0,BatchNorm_0}.*
+            # (ResDecoderBlock's conv1/conv2 are ResBlocks whose branch1/a/b/c
+            # keys pass straight through to the I3D mapping below)
             parts[2] = {"0": "Conv_0", "1": "BatchNorm_0"}[parts[2]]
             k = ".".join(parts)
         elif head.startswith("conv1x1_"):

@@ -22,6 +22,8 @@ from tests.oracles.ref_i3d import build_reference_resunet
 CASES = [
     ("ResUNetContinus", "continus", ("all",)),
     ("ResUNetCommon", "common", ("rotate", "light", "skip")),
+    ("ResUNetLightFix", "lightfix", ("rotate", "light", "skip")),
+    ("ResUNetStrong", "strong", ("rotate", "light", "skip")),
 ]
 
 
