@@ -264,15 +264,6 @@ class DualFeaturesClipDataset:
             [X, np.zeros((X.shape[0], want - X.shape[1]), np.float32)], axis=1
         )
 
-    def _window(self, X: np.ndarray) -> np.ndarray:
-        t = X.shape[0]
-        if t > self.T:
-            if self.is_train and self.random_crop:
-                s = self.rng.randint(0, t - self.T + 1)
-                return X[s : s + self.T].copy()
-            return X[: self.T].copy()
-        return X.copy()
-
     def _pad(self, X: np.ndarray) -> Tuple[np.ndarray, int]:
         t = X.shape[0]
         if t >= self.T:

@@ -138,6 +138,14 @@ class I3DClipDataset:
         order = np.arange(len(self))
         if shuffle if shuffle is not None else self.is_train:
             np.random.RandomState(seed).shuffle(order)
+        if 0 < len(order) < batch_size:
+            # smaller than one batch: emit it whole rather than silently
+            # yielding nothing (tails of larger datasets still drop,
+            # DistributedSampler-style); costs one extra XLA shape
+            rows = [self[int(i)] for i in order]
+            yield (np.stack([r["clip"] for r in rows]),
+                   np.asarray([r["y"] for r in rows], np.float32))
+            return
         for s in range(0, len(order) - batch_size + 1, batch_size):
             rows = [self[int(i)] for i in order[s : s + batch_size]]
             yield (np.stack([r["clip"] for r in rows]),

@@ -73,6 +73,16 @@ class ClipWriter:
                 w.writerow(["video", "track_id", "clip_idx", "frame_start",
                             "frame_end", "n_frames", "path"])
             w.writerows(self.rows)
+        if self.errors:
+            # write failures MUST be loud: a multi-hour production run on a
+            # full disk would otherwise report success with clips missing
+            import warnings
+
+            head = "; ".join(self.errors[:5])
+            warnings.warn(
+                f"ClipWriter: {len(self.errors)} clip write(s) FAILED "
+                f"(first: {head}) — see writer.errors", RuntimeWarning,
+            )
 
     def _run(self) -> None:
         while True:

@@ -41,6 +41,27 @@ def read_frames_strided(path: str, T: int, stride: int = 2,
     return frames
 
 
+def _face_crop(frame_bgr: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    """Square crop of the landmark bbox with 25% margin, clamped in-frame."""
+    H, W = frame_bgr.shape[:2]
+    (x1, y1), (x2, y2) = pts.min(axis=0), pts.max(axis=0)
+    cx, cy = (x1 + x2) / 2.0, (y1 + y2) / 2.0
+    half = max(x2 - x1, y2 - y1) * 0.625
+    xa, xb = int(max(0, cx - half)), int(min(W, cx + half))
+    ya, yb = int(max(0, cy - half)), int(min(H, cy + half))
+    if xb <= xa + 1 or yb <= ya + 1:
+        return frame_bgr
+    return frame_bgr[ya:yb, xa:xb]
+
+
+def _resize256(img: np.ndarray) -> np.ndarray:
+    # one resample to the LibreFace transform's input scale (256-resize /
+    # 224-center-crop happens inside the extractor)
+    import cv2
+
+    return cv2.resize(img, (256, 256))
+
+
 class DualVideoRegenDataset:
     """Videos in, degraded (A, L, y) clips out."""
 
@@ -78,7 +99,7 @@ class DualVideoRegenDataset:
         if self.is_train and frames:
             frames = self.degrader(frames)
         lmk_rows: List[np.ndarray] = []
-        crops: List[np.ndarray] = []
+        faces: List[np.ndarray] = []
         for f in frames:
             pts = self.landmarker(f[:, :, ::-1])
             if pts is None:
@@ -86,7 +107,10 @@ class DualVideoRegenDataset:
             feat = lmk_seq_to_features([pts])
             if len(feat):
                 lmk_rows.append(feat[0])
-                crops.append(f)
+                # the AU extractor's LibreFace transform expects a FACE
+                # crop, not the whole frame — crop the landmark bbox with
+                # 25% margin (full frames would feed it mostly background)
+                faces.append(_face_crop(f, np.asarray(pts)))
         L = np.zeros((self.T, LMK_FEATURE_DIM), np.float32)
         A = np.zeros((self.T, self.au_dim), np.float32)
         n = min(self.T, len(lmk_rows))
@@ -95,7 +119,8 @@ class DualVideoRegenDataset:
             if self.au_extractor is not None:
                 from .features import au_seq_to_features
 
-                dicts = self.au_extractor(np.stack([c[:, :, ::-1] for c in crops[:n]]))
+                dicts = self.au_extractor(
+                    np.stack([_resize256(c[:, :, ::-1]) for c in faces[:n]]))
                 A[:n] = au_seq_to_features(dicts)[:, : self.au_dim]
         return {
             "A": A, "L": L, "y": float(self.labels[i]), "lengths": n,

@@ -30,15 +30,68 @@ def group_by_video(clip_dirs: Sequence[str]) -> Dict[str, List[str]]:
     return dict(groups)
 
 
+def _identity_tokens(vid: str, all_vids) -> List[str]:
+    """Identity-linking tokens of a video name: underscore parts that are
+    themselves a video name in the tree (FF++ fakes are named
+    ``<source>_<target>`` after the original videos they manipulate) or
+    CelebDF-style ``id<k>`` actor ids. Tokens like bare clip numbers that
+    name no video link nothing."""
+    import re
+
+    toks = vid.split("_")
+    out = [t for t in toks if t in all_vids or re.match(r"^id\d+$", t)]
+    return out or [vid]
+
+
+def link_identity_groups(groups: Dict[str, List[str]]) -> Dict[str, List[str]]:
+    """Merge per-video groups that share a manipulated identity, so a fake
+    and the original it was generated from can never span phases (the FF++
+    leak: ``original/000`` in train while ``deepfakes/000_003`` — same actor
+    footage — sits in test inflates generalization metrics; the reference's
+    split tooling shuffles bare clip-dir lists and has this leak)."""
+    all_vids = {vk.split("/", 1)[-1] for vk in groups}
+    parent: Dict[str, str] = {}
+
+    def find(a: str) -> str:
+        while parent.setdefault(a, a) != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a: str, b: str) -> None:
+        parent[find(a)] = find(b)
+
+    tok_owner: Dict[str, str] = {}
+    for vk in sorted(groups):
+        vid = vk.split("/", 1)[-1]
+        for tok in _identity_tokens(vid, all_vids):
+            if tok in tok_owner:
+                union(vk, tok_owner[tok])
+            else:
+                tok_owner[tok] = vk
+    merged: Dict[str, List[str]] = defaultdict(list)
+    for vk in sorted(groups):
+        merged[find(vk)].extend(groups[vk])
+    return dict(merged)
+
+
 def make_split(
     clip_dirs: Sequence[str],
     ratios: Tuple[float, float, float] = (0.7, 0.15, 0.15),
     seed: int = 42,
     per_tech_cap: Optional[int] = None,
+    link_identities: bool = True,
 ) -> Dict[str, List[str]]:
-    """Video-grouped 3-way split with per-technique stratification."""
+    """Video-grouped 3-way split with per-technique stratification.
+
+    ``link_identities`` additionally merges groups sharing a manipulated
+    identity (see :func:`link_identity_groups`) — per-tech ratios then hold
+    approximately, since an identity's original AND all its fakes must land
+    in one phase for the split to be leak-free."""
     assert abs(sum(ratios) - 1.0) < 1e-6
     groups = group_by_video(clip_dirs)
+    if link_identities:
+        groups = link_identity_groups(groups)
     # bucket videos by (tech, label) for stratification
     buckets: Dict[Tuple[str, int], List[str]] = defaultdict(list)
     for vk, dirs in groups.items():
@@ -92,13 +145,13 @@ def load_split(path: str) -> Dict[str, List[str]]:
         return json.load(f)
 
 
-def check_no_leakage(split: Dict[str, List[str]]) -> bool:
-    """No video key may appear in two phases."""
-    seen: Dict[str, str] = {}
-    for p in PHASES:
-        for d in split.get(p, []):
-            vk, _ = ids_from_dir(d)
-            if vk in seen and seen[vk] != p:
-                return False
-            seen[vk] = p
-    return True
+def check_no_leakage(split: Dict[str, List[str]], identities: bool = True) -> bool:
+    """No video key — and (by default) no manipulated identity — may appear
+    in two phases."""
+    dir_phase = {d: p for p in PHASES for d in split.get(p, [])}
+    groups = group_by_video(list(dir_phase))
+    if identities:
+        groups = link_identity_groups(groups)
+    return all(
+        len({dir_phase[d] for d in dirs}) <= 1 for dirs in groups.values()
+    )

@@ -36,10 +36,11 @@ def build_index(
     rng = random.Random(seed)
     rng.shuffle(speakers)
     n_val = max(1, int(len(speakers) * val_ratio)) if speakers else 0
-    val_sp = set(speakers[:n_val])
+    # iterate the (seed-shuffled) LIST, not a set — string-set order depends
+    # on PYTHONHASHSEED and would make the val file order irreproducible
     return {
         "train": [f for s in speakers[n_val:] for f in by_speaker[s]],
-        "val": [f for s in val_sp for f in by_speaker[s]],
+        "val": [f for s in speakers[:n_val] for f in by_speaker[s]],
     }
 
 
@@ -81,6 +82,12 @@ class VoxLmkDataset:
         order = np.arange(len(self))
         if shuffle if shuffle is not None else self.is_train:
             self.rng.shuffle(order)
+        if 0 < len(order) < batch_size:
+            # smaller than one batch: emit it whole rather than silently
+            # yielding nothing (tails of larger datasets still drop,
+            # DistributedSampler-style)
+            yield collate_pad([self[int(i)] for i in order], self.T)
+            return
         for s in range(0, len(order) - batch_size + 1, batch_size):
             seqs = [self[int(i)] for i in order[s : s + batch_size]]
             yield collate_pad(seqs, self.T)

@@ -137,8 +137,17 @@ def evaluate_ava(
 
     out: Dict[str, float] = {}
     aps = []
-    for c, rows in sorted(per_class.items()):
+    # iterate classes WITH ground truth (not classes with detections): a
+    # class the detector never fired on must score AP=0, not vanish from
+    # the mean — the ActivityNet evaluator counts it
+    for c in sorted(n_gt):
         if n_gt[c] == 0:
+            continue
+        rows = per_class.get(c, [])
+        if not rows:
+            name = (categories or {}).get(c, str(c))
+            out[f"AP/{name}"] = 0.0
+            aps.append(0.0)
             continue
         rows.sort(key=lambda r: -r[0])
         tps = np.asarray([r[1] for r in rows], np.float64)

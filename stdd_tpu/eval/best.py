@@ -134,11 +134,19 @@ def sweep_threshold(
     p = np.asarray(p)
     if target_fpr is not None:
         fpr, tpr, thr = roc_curve(y, p)
-        cand = sorted(zip(fpr, tpr, thr), key=lambda x: (abs(x[0] - target_fpr), x[0]))
-        for fp, tp, th in cand:
-            if fp <= target_fpr:
-                return float(th)
-        return float(cand[0][2])
+        ok = fpr <= target_fpr
+        if ok.any():
+            # max TPR subject to the FPR budget — NOT the first same-FPR
+            # point in roc order, which is sklearn's (0, 0, inf) sentinel
+            i = int(np.argmax(np.where(ok, tpr, -1.0)))
+        else:
+            i = int(np.argmin(fpr))   # budget unreachable: least-FPR point
+        t = float(thr[i])
+        if not np.isfinite(t):
+            # the inf sentinel = predict nothing positive; realize it as a
+            # finite threshold just above the largest score
+            t = float(np.nextafter(p.max(), np.inf)) if len(p) else 1.0
+        return t
     best_t, best_score = 0.5, -1.0
     for t in np.linspace(0.05, 0.95, 19):
         preds = (p >= t).astype(int)
@@ -166,6 +174,11 @@ def bootstrap_ci(
     y = np.asarray(y)
     p = np.asarray(p)
     pos, neg = np.where(y == 1)[0], np.where(y == 0)[0]
+    if not len(pos) or not len(neg):
+        # single-class split: AUC is undefined in every resample — report
+        # NaN CIs instead of crashing after the expensive eval already ran
+        return {"B": B, "auc_ci95": [float("nan")] * 2,
+                "ap_ci95": [float("nan")] * 2}
     aucs, aps = [], []
     for _ in range(B):
         bi = np.concatenate([
@@ -178,8 +191,8 @@ def bootstrap_ci(
             continue
     return {
         "B": B,
-        "auc_ci95": [float(x) for x in np.nanpercentile(aucs, [2.5, 97.5])],
-        "ap_ci95": [float(x) for x in np.nanpercentile(aps, [2.5, 97.5])],
+        "auc_ci95": [float(x) for x in np.nanpercentile(aucs or [np.nan], [2.5, 97.5])],
+        "ap_ci95": [float(x) for x in np.nanpercentile(aps or [np.nan], [2.5, 97.5])],
     }
 
 

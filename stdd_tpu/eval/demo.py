@@ -237,17 +237,15 @@ def main(argv=None):
     yunet = YuNetTPU(conf_threshold=0.5)
 
     def detector(frames):
-        import cv2
+        from ..models.yunet import detect_scaled
 
         det_res, lm68s = [], []
         for f in frames:
-            H, W = f.shape[:2]
-            rows = yunet.detect_np(cv2.resize(f[:, :, ::-1], (320, 320)))
+            rows = detect_scaled(yunet, np.ascontiguousarray(f[:, :, ::-1]), 320)
             faces, lms = [], []
-            sx, sy = W / 320.0, H / 320.0
             for r in rows:
-                box = np.array([r[0] * sx, r[1] * sy, (r[0] + r[2]) * sx, (r[1] + r[3]) * sy])
-                lm5 = r[4:14].reshape(5, 2) * [sx, sy]
+                box = np.array([r[0], r[1], r[0] + r[2], r[1] + r[3]])
+                lm5 = r[4:14].reshape(5, 2)
                 faces.append((box, lm5, float(r[14])))
                 lms.append(np.tile(lm5.mean(0), (68, 1)))  # placeholder 68pt
             det_res.append(faces)

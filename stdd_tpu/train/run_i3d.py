@@ -238,10 +238,17 @@ def main(argv=None):
             # batch and reads back the replicated logits
             for clips, ys in val_ds.batches(args.batch, shuffle=False):
                 if mesh is not None:
+                    # a tiny val set can emit one short batch: trim to a
+                    # multiple of the process count so host stripes agree
+                    n = (len(ys) // pc) * pc
+                    if n == 0:
+                        continue
+                    clips, ys = clips[:n], ys[:n]
+                    ln = n // pc
                     x = global_batch_from_local(
                         mesh,
                         normalize_clip(jnp.asarray(
-                            clips[pi * local_batch:(pi + 1) * local_batch])),
+                            clips[pi * ln:(pi + 1) * ln])),
                     )
                 else:
                     x = normalize_clip(jnp.asarray(clips))
