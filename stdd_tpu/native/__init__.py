@@ -51,6 +51,20 @@ def _load() -> Optional[ctypes.CDLL]:
         _lib = lib
     except OSError:
         return None
+    except AttributeError:
+        # stale .so from before a symbol was added: rebuild once, else fall
+        # back to numpy (the documented contract) instead of crashing
+        if not _tried_build:
+            _tried_build = True
+            try:
+                subprocess.run(
+                    ["make", "-C", _DIR, "-s", "-B"], check=True,
+                    capture_output=True, timeout=120,
+                )
+                return _load()
+            except Exception:
+                return None
+        return None
     return _lib
 
 

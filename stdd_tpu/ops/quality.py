@@ -109,6 +109,11 @@ def crop_quality(
         return 0.0, 0.0, 0.0
     h, w = crop_rgb.shape[:2]
     min_side = min(h, w)
+    if min_side < 4:
+        # degenerate sliver (clamped detection box): garbage by definition,
+        # and far below any min_size gate — skip the blur metric, whose
+        # numpy/native paths disagree (or crash) on < 2-pixel sides
+        return 0.0, float(min_side), 0.0
     from ..native import crop_lapvar_halfres
 
     lap = crop_lapvar_halfres(crop_rgb)   # fused C++ path (~30x numpy)

@@ -37,10 +37,15 @@ def save_checkpoint(
     if metadata is not None:
         with open(path + ".json", "w") as f:
             json.dump(metadata, f, indent=1, default=str)
-    # GC old checkpoints (ModelBase.save_models max_to_keep)
+    # GC old checkpoints (ModelBase.save_models max_to_keep). Never delete
+    # the file just written: saving an epoch LOWER than existing ones
+    # (resume from an older checkpoint) would otherwise GC it immediately
+    # and return a dangling path.
     if max_to_keep and max_to_keep > 0:
         found = list_checkpoints(directory, name)
         for ep, p in found[:-max_to_keep]:
+            if os.path.abspath(p) == os.path.abspath(path):
+                continue
             try:
                 os.remove(p)
                 if os.path.exists(p + ".json"):

@@ -29,7 +29,13 @@ _logger: Optional[logging.Logger] = None
 
 
 def get_logger(name: str = "stdd_tpu") -> logging.Logger:
+    """Named logger under the configured ``stdd_tpu`` root. Any short name
+    ('i3d', 'train') becomes a CHILD of it — a bare getLogger(name) would
+    have no handlers and root's WARNING level, silently dropping every
+    info-level line from console and log.txt."""
     global _logger
+    if name != "stdd_tpu" and not name.startswith("stdd_tpu."):
+        name = f"stdd_tpu.{name}"
     if _logger is not None:
         return logging.getLogger(name)
     logger = logging.getLogger("stdd_tpu")
@@ -44,10 +50,14 @@ def get_logger(name: str = "stdd_tpu") -> logging.Logger:
 
 def set_logger_dir(dirname: str, action: str = "k") -> str:
     """Attach a file handler writing ``log.txt`` under ``dirname``
-    (utils/logger.py set_logger_dir; 'k' keeps existing logs)."""
+    (utils/logger.py set_logger_dir; 'k' keeps existing logs). Idempotent
+    per path: calling twice (resume re-setup) must not duplicate lines."""
     os.makedirs(dirname, exist_ok=True)
     logger = get_logger()
-    path = os.path.join(dirname, "log.txt")
+    path = os.path.abspath(os.path.join(dirname, "log.txt"))
+    for h in logger.handlers:
+        if isinstance(h, logging.FileHandler) and h.baseFilename == path:
+            return path
     fh = logging.FileHandler(path)
     fh.setFormatter(logging.Formatter(_FMT, datefmt=_DATEFMT))
     logger.addHandler(fh)

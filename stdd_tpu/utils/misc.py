@@ -98,8 +98,13 @@ class UtilizationSampler:
 
             p = psutil.Process(os.getpid())
             while not self._stop.wait(self.period):
-                self.cpu.append(p.cpu_percent(interval=None))
-                self.rss_mb.append(p.memory_info().rss / 2 ** 20)
+                try:
+                    self.cpu.append(p.cpu_percent(interval=None))
+                    self.rss_mb.append(p.memory_info().rss / 2 ** 20)
+                except Exception:
+                    # per-sample psutil errors (AccessDenied in restricted
+                    # containers) must not kill the sampler thread silently
+                    continue
         except ImportError:
             import resource
 

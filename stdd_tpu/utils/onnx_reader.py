@@ -112,7 +112,13 @@ def _parse_tensor(buf: bytes) -> OnnxTensor:
     i32: List[int] = []
     for fnum, wtype, val in _fields(buf):
         if fnum == 1:
-            dims.append(val)
+            if wtype == 2:  # packed repeated int64 dims (proto3 writers)
+                p = 0
+                while p < len(val):
+                    v, p = _read_varint(val, p)
+                    dims.append(v)
+            else:
+                dims.append(val)
         elif fnum == 2:
             dtype = val
         elif fnum == 4:

@@ -177,9 +177,8 @@ def retinaface_torch_to_flax(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
     sd = {k: arr(v) for k, v in state_dict.items()}
 
     def put_conv(dst, key):
-        w = sd[key + ".weight"]  # [O, I/g, H, W]
-        if w.shape[1] == 1 and w.shape[0] > 1 and key.endswith(".0") and ".stage" in key:
-            pass
+        w = sd[key + ".weight"]  # [O, I/g, H, W] (depthwise convs included —
+        # flax feature_group_count expects the same [H, W, I/g, O] layout)
         _set(params, tuple(dst.split("/")) + ("kernel",), w.transpose(2, 3, 1, 0))
         if key + ".bias" in sd:
             _set(params, tuple(dst.split("/")) + ("bias",), sd[key + ".bias"])
@@ -193,9 +192,9 @@ def retinaface_torch_to_flax(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
     # backbone
     put_conv("body/s1_conv/conv", "body.stage1.0.0")
     put_bn("body/s1_conv/bn", "body.stage1.0.1")
-    stage_map = [("stage1", range(1, 6), "s1_dw", -1), ("stage2", range(0, 6), "s2_dw", 0),
-                 ("stage3", range(0, 2), "s3_dw", 0)]
-    for stage, idxs, prefix, off in stage_map:
+    stage_map = [("stage1", range(1, 6), "s1_dw"), ("stage2", range(0, 6), "s2_dw"),
+                 ("stage3", range(0, 2), "s3_dw")]
+    for stage, idxs, prefix in stage_map:
         for n, i in enumerate(idxs):
             base = f"body.{stage}.{i}"
             dst = f"body/{prefix}{n}"

@@ -48,6 +48,7 @@ class RunTracker:
         path = os.path.join(self.dir, f"{key}.csv")
         import csv
 
+        rows = [list(r) for r in rows]   # rows may be a one-shot iterable
         with open(path, "w", newline="") as f:
             w = csv.writer(f)
             w.writerow(columns)

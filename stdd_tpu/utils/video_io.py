@@ -52,7 +52,10 @@ def get_clips_uniform(path: str, count: int, clip_size: int) -> List[List[np.nda
         frames: Dict[int, np.ndarray] = {}
         for idx in range(max(valid) + 1):
             if not cap.grab():
-                continue
+                # a failed grab does not advance the decoder: continuing
+                # would shift every later frame's index by one silently —
+                # stop here and let short clips be dropped below
+                break
             if idx in valid:
                 ok, frame = cap.retrieve()
                 if ok and frame is not None:
