@@ -71,22 +71,23 @@ class RealtimeApp:
         self.exclude_rect = exclude_rect
         self.decision_min_frames = decision_min_frames
         self.decision_percentile = decision_percentile
-        self.running_scores: Dict[int, list] = collections.defaultdict(list)
         self.frames_seen = 0
+
+    @property
+    def running_scores(self) -> Dict[int, list]:
+        """Per-track clip scores — read straight from the engine (which
+        already accumulates every harvested score); a second copy here
+        could silently diverge when a peer thread harvests between steps."""
+        return self.engine.track_clip_scores
 
     def step(self, frame_bgr: np.ndarray):
         results = self.engine.step(frame_bgr)
-        for tid, p in results:
-            self.running_scores[tid].append(p)
         self.frames_seen += 1
         return results
 
     def flush(self):
         """Drain in-flight async batches into the running scores."""
-        results = self.engine.flush()
-        for tid, p in results:
-            self.running_scores[tid].append(p)
-        return results
+        return self.engine.flush()
 
     @property
     def last_boxes(self) -> Dict[int, np.ndarray]:
@@ -214,10 +215,17 @@ def main(argv=None):
         clip_size=args.clip_size, stride=args.stride,
         detect_every=args.detect_every, threshold=args.threshold,
     )
-    wait = args.max_batch_wait if args.max_batch_wait is not None else args.stride
+    # flag unset → pass the engine's "stride" sentinel through: it resolves
+    # to 0 (ship immediately) in device-ring mode, where window dispatches
+    # carry no pixels — materializing args.stride here would add up to a
+    # stride (~1 s at 30 fps) of avoidable window latency on TPU
+    if args.max_batch_wait is None:
+        wait = "stride"
+    else:
+        wait = args.max_batch_wait if args.max_batch_wait > 0 else None
     engine = StreamingEngine(
         scorer, detect_fn, cfg=cfg,
-        max_batch_wait_frames=wait if wait > 0 else None,
+        max_batch_wait_frames=wait,
     )
     if args.warmup:
         # pre-compile the scorer for every batch capacity the engine can

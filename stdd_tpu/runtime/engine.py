@@ -57,10 +57,14 @@ def get_crop_box(shape_hw: Tuple[int, int], box: np.ndarray, scale: float = 0.5)
 
 @dataclass
 class _FrameEntry:
+    # NOTE: the soft quality weight wq is NOT stored — it gates frame
+    # admission only (wq <= 0 drops the frame). The reference buffers a
+    # per-frame weight list alongside (TEST2.py:313 cur_w) but never
+    # consumes it in scoring either; we reproduce the behavior, not the
+    # dead state.
     crop: np.ndarray          # RGB uint8 big-box crop (native resolution)
     big_box: np.ndarray       # absolute (x1, y1, x2, y2) int
     lm5: np.ndarray           # crop-local [5, 2] float32
-    weight: float
 
 
 @dataclass
@@ -468,9 +472,9 @@ class StreamingEngine:
                 # crop lands in HBM now (~100 KB, async); entries keep only
                 # the geometry so windows never re-upload pixels
                 ring.push(crop, big_box, lm5_local)
-                buf.append(_FrameEntry(None, big_box, lm5_local, wq))
+                buf.append(_FrameEntry(None, big_box, lm5_local))
             else:
-                buf.append(_FrameEntry(crop, big_box, lm5_local, wq))
+                buf.append(_FrameEntry(crop, big_box, lm5_local))
             self.since_emit[tid] += 1
 
             if (
@@ -482,10 +486,19 @@ class StreamingEngine:
                 # a track without a ring (crowd overflow) carries pixels in
                 # its buffer entries and ships through the host-packed path
                 emit_ring = self.rings.get(tid) if self.device_resident else None
-                window = (
-                    emit_ring.window(self.cfg.clip_size)
-                    if emit_ring is not None else None
-                )
+                if emit_ring is not None:
+                    try:
+                        window = emit_ring.window(self.cfg.clip_size)
+                    except RuntimeError:
+                        # an upload for this ring failed between the top-of-
+                        # step broken check and this emit: self-heal exactly
+                        # like the broken-flag path (drop + restart) instead
+                        # of crashing the live call's step()
+                        self._drop_ring(tid)
+                        buf.clear()
+                        continue
+                else:
+                    window = None
                 group = self._group
                 with group._state_lock:
                     group.pending.append(
@@ -857,16 +870,22 @@ class StreamingEngine:
 
         while True:
             with self._harvest_lock:
-                self._harvest_locked(block=True)
+                self._harvest_locked(block=True, until_seq=target_seq)
                 done = self._next_harvest_seq >= target_seq
             if done:
                 return
             time.sleep(0.002)   # head batch is still packing on a worker
 
-    def _harvest_locked(self, block: bool) -> None:
+    def _harvest_locked(self, block: bool, until_seq: Optional[int] = None) -> None:
         import time
 
         while True:
+            if until_seq is not None and self._next_harvest_seq >= until_seq:
+                # a flushing stream's snapshotted target: batches peers
+                # dispatched AFTER the snapshot are not its problem — without
+                # this bound, a flush under sustained peer dispatch blocks on
+                # batch after batch while holding _harvest_lock
+                break
             with self._lock:
                 entries = sorted(self.inflight, key=lambda e: e[0])
             if not entries:

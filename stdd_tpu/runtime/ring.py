@@ -76,7 +76,10 @@ class RingUploader:
 
     def forget(self, ring: "DeviceRing") -> None:
         """Drop this ring's bookkeeping (eviction/GC): id() values of dead
-        rings get recycled, so stale entries must not linger."""
+        rings get recycled, so stale entries must not linger. The closed
+        flag also stops the worker from re-inserting bookkeeping for a
+        still-queued push that completes after this call."""
+        ring.closed = True
         with self._cv:
             self._pending.pop(id(ring), None)
             self._errs.pop(id(ring), None)
@@ -93,11 +96,13 @@ class RingUploader:
             except BaseException as e:  # surfaced at THIS ring's next sync()
                 ring.broken = True      # HBM state is missing a frame now
                 with self._cv:
-                    self._errs[id(ring)] = e
+                    if not ring.closed:   # a forgotten ring must not leave a
+                        self._errs[id(ring)] = e   # stale entry a recycled
+                        # id() could inherit
             finally:
                 with self._cv:
                     n = self._pending.get(id(ring), 1) - 1
-                    if n <= 0:
+                    if n <= 0 or ring.closed:
                         self._pending.pop(id(ring), None)
                     else:
                         self._pending[id(ring)] = n
@@ -178,6 +183,9 @@ class DeviceRing:
         # set by the uploader when a push for THIS ring fails: the HBM state
         # is missing a frame, so the engine drops and re-creates the ring
         self.broken = False
+        # set by uploader.forget(): late-completing queued pushes for a
+        # dropped ring must not write bookkeeping a recycled id() inherits
+        self.closed = False
         # host staging: frames pack here and ship as ONE device op per
         # batch_k group (per-op relay overhead paid once per group)
         self._staged = np.zeros((kernels.batch_k,) + kernels.slot_shape, np.uint8)
@@ -229,6 +237,7 @@ class DeviceRing:
 
     def close(self) -> None:
         """Release the uploader's per-ring bookkeeping (call on eviction)."""
+        self.closed = True
         if self.uploader is not None:
             self.uploader.forget(self)
 

@@ -117,16 +117,18 @@ class LargestTilePicker:
             area = w * h
             if area > best_area and area >= self.min_area_frac * H * W:
                 best, best_area = (x, y, x + w, y + h), area
+        # refresh the motion reference on EVERY call — a contour hit that
+        # skipped it would leave the fallback diffing against a frame from
+        # minutes ago, flagging the whole screen as motion
+        prev, self._prev = self._prev, gray
         if best is not None:
             return best
         # motion fallback
-        if self._prev is not None:
-            diff = cv2.absdiff(gray, self._prev)
+        if prev is not None:
+            diff = cv2.absdiff(gray, prev)
             ys, xs = np.where(diff > self.motion_thresh)
-            self._prev = gray
             if len(xs) > 100:
                 return int(xs.min()), int(ys.min()), int(xs.max()), int(ys.max())
-        self._prev = gray
         return 0, 0, W, H
 
 

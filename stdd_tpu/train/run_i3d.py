@@ -201,6 +201,13 @@ def main(argv=None):
             train_ds.batches(local_batch, seed=args.seed + epoch),
             steps_per_epoch,
         )):
+            if use_mesh and len(ys) != local_batch:
+                # the jitted step's global shape is fixed: a dataset smaller
+                # than one batch emits a short batch that cannot shard over
+                # the mesh — skip it loudly rather than crash
+                log.warning(f"skipping short batch of {len(ys)} rows "
+                            f"(mesh local_batch={local_batch})")
+                continue
             meter.iter_tic()
             if mesh is not None:
                 x = global_batch_from_local(mesh, normalize_clip(jnp.asarray(clips)))
@@ -239,8 +246,10 @@ def main(argv=None):
             for clips, ys in val_ds.batches(args.batch, shuffle=False):
                 if mesh is not None:
                     # a tiny val set can emit one short batch: trim to a
-                    # multiple of the process count so host stripes agree
-                    n = (len(ys) // pc) * pc
+                    # multiple of the data-axis size (sharding divides the
+                    # GLOBAL batch over every device, not just per host)
+                    n_shard = mesh.shape["data"]
+                    n = (len(ys) // n_shard) * n_shard
                     if n == 0:
                         continue
                     clips, ys = clips[:n], ys[:n]
