@@ -20,8 +20,11 @@ from stdd_tpu.utils.torch_convert import resunet_torch_to_flax
 from tests.oracles.ref_i3d import build_reference_resunet
 
 CASES = [
+    ("ResUNet", "resunet", ("rotate", "light")),
+    ("ResUNetLight", "light", ("rotate", "light")),
     ("ResUNetContinus", "continus", ("all",)),
     ("ResUNetCommon", "common", ("rotate", "light", "skip")),
+    ("ResUNetCommon2", "common2", ("rotate", "light", "skip")),
     ("ResUNetLightFix", "lightfix", ("rotate", "light", "skip")),
     ("ResUNetStrong", "strong", ("rotate", "light", "skip")),
 ]
