@@ -283,3 +283,117 @@ def resunet_torch_to_flax(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
             k = ".".join([parts[0]] + parts[2:])
         renamed[k] = val
     return i3d_torch_to_flax(renamed)
+
+
+def ftcn_torch_to_flax(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """Map a reference FTCN (``I3D8x8`` from
+    i3d_temporal_var_fix_dropout_tt_cfg.py, the mutated temporal-only ResNet
+    + TransformerHead) state dict onto :class:`stdd_tpu.models.ftcn.FTCN`.
+
+    Naming notes: the mutation wraps a strided conv's BN in
+    ``Sequential(bn, MaxPool)`` so those keys carry a ``.0`` segment;
+    ``branch1``/``branch2.{a,b,c}`` land under our
+    ``{shortcut,a,b,c}/Conv3dBN_0``; the head's Residual(PreNorm(..))
+    nesting flattens onto ``attn_*``/``mlp_*``/``head_*`` names.
+    """
+    import re
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def arr(v):
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+
+    def put_p(path: str, v) -> None:
+        _set(params, tuple(path.split("/")), v)
+
+    def put_s(path: str, v) -> None:
+        _set(stats, tuple(path.split("/")), v)
+
+    HEAD_LINEARS = {
+        "to_qkv": "qkv{i}", "to_out.0": "attn_out{i}",
+        "net.0": "mlp_fc1_{i}", "net.3": "mlp_fc2_{i}",
+    }
+    for key, val in state_dict.items():
+        k = _strip_prefixes(key)
+        if k.endswith("num_batches_tracked"):
+            continue
+        a = arr(val)
+        if k.startswith("head."):
+            h = k[len("head."):]
+            if h.startswith("fc."):
+                put_p("head/proj/kernel" if h.endswith("weight")
+                      else "head/proj/bias",
+                      a.T if h.endswith("weight") else a)
+            elif h == "time_T.cls_token":
+                put_p("head/cls_token", a)
+            elif h == "time_T.pos_embedding":
+                put_p("head/pos_embedding", a)
+            elif h.startswith("time_T.mlp_head.0."):
+                put_p("head/head_norm/" +
+                      ("scale" if h.endswith("weight") else "bias"), a)
+            elif h.startswith("time_T.mlp_head.1."):
+                put_p("head/head_fc/" +
+                      ("kernel" if h.endswith("weight") else "bias"),
+                      a.T if h.endswith("weight") else a)
+            else:
+                m = re.match(
+                    r"time_T\.transformer\.layers\.(\d+)\.(\d)\.fn\.(.+)$", h)
+                if not m:
+                    raise KeyError(f"unhandled FTCN head key: {key}")
+                i, half, rest = m.group(1), m.group(2), m.group(3)
+                if rest.startswith("norm."):
+                    name = ("attn_norm" if half == "0" else "mlp_norm") + i
+                    put_p(f"head/{name}/" +
+                          ("scale" if rest.endswith("weight") else "bias"), a)
+                else:
+                    assert rest.startswith("fn.")
+                    body = rest[len("fn."):]
+                    lin, leaf = body.rsplit(".", 1)
+                    name = HEAD_LINEARS[lin].format(i=i)
+                    put_p(f"head/{name}/" +
+                          ("kernel" if leaf == "weight" else "bias"),
+                          a.T if leaf == "weight" else a)
+            continue
+
+        # NB: FTCN names its blocks with a literal slash in the flax module
+        # name ("s2/pathway0_res0"), so that segment is ONE path component
+        m = re.match(r"(s\d)\.pathway0_stem\.(conv|bn)(?:\.0)?\.(.+)$", k)
+        if m:
+            base = (m.group(1), "Conv3dBN_0")
+            mod, leaf = m.group(2), m.group(3)
+        else:
+            m = re.match(r"(s\d)\.(pathway0_res\d+)\.(.+)$", k)
+            if not m:
+                raise KeyError(f"unhandled FTCN trunk key: {key}")
+            parts = m.group(3).split(".")
+            if parts[0] == "branch2":
+                parts = parts[1:]
+            name = parts[0]
+            if name == "branch1":
+                sub, mod = "shortcut", "conv"
+            elif name == "branch1_bn":
+                sub, mod = "shortcut", "bn"
+            elif name.endswith("_bn"):
+                sub, mod = name[0], "bn"
+            else:
+                sub, mod = name, "conv"
+            parts = parts[1:]
+            if parts and parts[0] == "0":     # Sequential(bn, pool) wrapper
+                parts = parts[1:]
+            base = (f"{m.group(1)}/{m.group(2)}", sub, "Conv3dBN_0")
+            leaf = ".".join(parts)
+
+        if mod == "conv" and leaf == "weight":
+            _set(params, base + ("conv", "kernel"), a.transpose(2, 3, 4, 1, 0))
+        elif mod == "bn" and leaf == "weight":
+            _set(params, base + ("bn", "scale"), a)
+        elif mod == "bn" and leaf == "bias":
+            _set(params, base + ("bn", "bias"), a)
+        elif mod == "bn" and leaf == "running_mean":
+            _set(stats, base + ("bn", "mean"), a)
+        elif mod == "bn" and leaf == "running_var":
+            _set(stats, base + ("bn", "var"), a)
+        else:
+            raise KeyError(f"unhandled FTCN trunk key: {key}")
+    return {"params": params, "batch_stats": stats}

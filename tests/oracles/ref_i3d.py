@@ -70,6 +70,12 @@ def _install_fvcore_stub():
 
             rec(self, yaml.safe_load(s))
 
+        def clone(self):
+            out = CfgNode()
+            for k, v in self.items():
+                out[k] = v.clone() if isinstance(v, CfgNode) else v
+            return out
+
     def c2_msra_fill(module):
         nn.init.kaiming_normal_(module.weight, mode="fan_out", nonlinearity="relu")
         if module.bias is not None:
@@ -205,3 +211,56 @@ def build_reference_resunet(cls_name: str, num_frames=4, crop_size=32,
     model = getattr(vmb, cls_name)(cfg)
     model.eval()
     return model
+
+
+_FTCN_CFG_READY = False
+
+
+def build_reference_ftcn(seed: int = 0):
+    """Return the reference FTCN (``I3D8x8`` plugin,
+    i3d_temporal_var_fix_dropout_tt_cfg.py with setting/ftcn_tt.yaml) in eval
+    mode. Initializes the reference's global config singleton and stubs
+    ``timm.models.layers.trunc_normal_``; patches the module-level conv-
+    reflection list for newer torch (Conv3d signature grew device/dtype
+    kwargs that are not attributes)."""
+    import os
+    import types
+
+    _install_fvcore_stub()
+    import torch
+
+    if "timm" not in sys.modules:
+        timm = types.ModuleType("timm")
+        tm = types.ModuleType("timm.models")
+        tl = types.ModuleType("timm.models.layers")
+        tl.trunc_normal_ = torch.nn.init.trunc_normal_
+        timm.models = tm
+        tm.layers = tl
+        sys.modules.update(
+            {"timm": timm, "timm.models": tm, "timm.models.layers": tl})
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    cwd = os.getcwd()
+    try:
+        os.chdir(REFERENCE_ROOT)   # the config resolves YAMLs relative to cwd
+        from config import config as ref_cfg
+
+        # NB: the guard must live HERE — the reference AttrDict auto-
+        # vivifies missing attributes to a (truthy) empty AttrDict, so a
+        # flag stored on ref_cfg would read as already-set
+        global _FTCN_CFG_READY
+        if not _FTCN_CFG_READY:
+            ref_cfg.init_with_yaml()
+            ref_cfg.update_with_yaml("ftcn_tt.yaml")
+            ref_cfg.freeze()
+            _FTCN_CFG_READY = True
+        import model.classifier.i3d_temporal_var_fix_dropout_tt_cfg as plug
+
+        plug.parameters = [p for p in plug.parameters
+                           if p not in ("device", "dtype")]
+        torch.manual_seed(seed)
+        m = plug.I3D8x8()
+        m.eval()
+        return m
+    finally:
+        os.chdir(cwd)
