@@ -397,3 +397,28 @@ def ftcn_torch_to_flax(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
         else:
             raise KeyError(f"unhandled FTCN trunk key: {key}")
     return {"params": params, "batch_stats": stats}
+
+
+def slowfast_torch_to_flax(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """Map a reference SlowFast state dict (video_model_builder.py:147) onto
+    :class:`stdd_tpu.models.slowfast.SlowFast` variables: pathway0/1 land in
+    the ``*_slow``/``*_fast`` module pairs, the lateral fusions' conv+bn in
+    ``s*_fuse/conv_f2s``, and ``head.projection`` in ``projection`` —
+    everything else rides the I3D key conventions."""
+    import re
+
+    renamed: Dict[str, Any] = {}
+    for key, val in state_dict.items():
+        k = _strip_prefixes(key)
+        m = re.match(r"(s\d)\.pathway([01])_(stem|res\d+)\.(.+)$", k)
+        if m:
+            side = "slow" if m.group(2) == "0" else "fast"
+            k = (f"{m.group(1)}_{side}.pathway0_{m.group(3)}.{m.group(4)}")
+        elif re.match(r"s\d_fuse\.conv_f2s\.", k):
+            k = k.replace(".conv_f2s.", ".conv_f2s.conv.")
+        elif re.match(r"s\d_fuse\.bn\.", k):
+            k = k.replace(".bn.", ".conv_f2s.bn.")
+        elif k.startswith("head.projection."):
+            k = k[len("head."):]
+        renamed[k] = val
+    return i3d_torch_to_flax(renamed)

@@ -264,3 +264,38 @@ def build_reference_ftcn(seed: int = 0):
         return m
     finally:
         os.chdir(cwd)
+
+
+def build_reference_slowfast(num_frames=16, crop_size=64, num_classes=1,
+                             seed=0, alpha=8, beta_inv=8):
+    """Return the reference torch SlowFast (video_model_builder.py:147) in
+    eval mode."""
+    _install_fvcore_stub()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    import torch
+    from fvcore.common.config import CfgNode
+
+    torch.manual_seed(seed)
+    cfg = _make_cfg(num_frames, crop_size, num_classes)
+    cfg.MODEL.ARCH = "slowfast"
+    cfg.SLOWFAST = CfgNode(
+        ALPHA=alpha, BETA_INV=beta_inv,
+        FUSION_CONV_CHANNEL_RATIO=2, FUSION_KERNEL_SZ=5,
+    )
+    # two-pathway variants of the per-stage lists
+    cfg.DATA.INPUT_CHANNEL_NUM = [3, 3]
+    cfg.RESNET.NUM_BLOCK_TEMP_KERNEL = [[3, 3], [4, 4], [6, 6], [3, 3]]
+    cfg.RESNET.SPATIAL_STRIDES = [[1, 1], [2, 2], [2, 2], [2, 2]]
+    cfg.RESNET.SPATIAL_DILATIONS = [[1, 1], [1, 1], [1, 1], [1, 1]]
+    cfg.NONLOCAL.LOCATION = [[[], []], [[], []], [[], []], [[], []]]
+    cfg.NONLOCAL.GROUP = [[1, 1], [1, 1], [1, 1], [1, 1]]
+    cfg.NONLOCAL.POOL = [
+        [[1, 2, 2], [1, 2, 2]], [[1, 2, 2], [1, 2, 2]],
+        [[1, 2, 2], [1, 2, 2]], [[1, 2, 2], [1, 2, 2]],
+    ]
+    from slowfast.models.video_model_builder import SlowFast
+
+    model = SlowFast(cfg)
+    model.eval()
+    return model
