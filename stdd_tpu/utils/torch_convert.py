@@ -422,3 +422,88 @@ def slowfast_torch_to_flax(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
             k = k[len("head."):]
         renamed[k] = val
     return i3d_torch_to_flax(renamed)
+
+
+def _vit_layer_path(rest: str):
+    """Map one reference Transformer layer key tail
+    (``layers.{i}.{0|1}.fn.(norm|fn....)``) onto our TransformerEncoder
+    names (time_transformer.py:74 vs models/vit.py TransformerEncoder)."""
+    import re
+
+    m = re.match(r"layers\.(\d+)\.(\d)\.fn\.(.+)$", rest)
+    if not m:
+        raise KeyError(rest)
+    i, half, body = m.group(1), m.group(2), m.group(3)
+    if body.startswith("norm."):
+        return (("attn_norm" if half == "0" else "mlp_norm") + i,
+                "scale" if body.endswith("weight") else "bias", False)
+    assert body.startswith("fn.")
+    lin, leaf = body[len("fn."):].rsplit(".", 1)
+    name = {"to_qkv": f"qkv{i}", "to_out.0": f"attn_out{i}",
+            "net.0": f"mlp_fc1_{i}", "net.3": f"mlp_fc2_{i}"}[lin]
+    return name, ("kernel" if leaf == "weight" else "bias"), leaf == "weight"
+
+
+def videoit_torch_to_flax(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """Reference VideoiT (time_transformer.py:167) → our VideoiT params."""
+    params: Dict[str, Any] = {}
+
+    def arr(v):
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+
+    for key, val in state_dict.items():
+        a = arr(val)
+        if key in ("cls_token", "pos_embedding"):
+            _set(params, (key,), a)
+        elif key.startswith("patch_to_embedding."):
+            _set(params, ("patch_to_embedding",
+                          "kernel" if key.endswith("weight") else "bias"),
+                 a.T if key.endswith("weight") else a)
+        elif key.startswith("mlp_head.0."):
+            _set(params, ("head_norm",
+                          "scale" if key.endswith("weight") else "bias"), a)
+        elif key.startswith("mlp_head.1."):
+            _set(params, ("mlp_head",
+                          "kernel" if key.endswith("weight") else "bias"),
+                 a.T if key.endswith("weight") else a)
+        elif key.startswith("transformer."):
+            name, leaf, tr = _vit_layer_path(key[len("transformer."):])
+            _set(params, ("transformer", name, leaf), a.T if tr else a)
+        else:
+            raise KeyError(f"unhandled VideoiT key: {key}")
+    return {"params": params}
+
+
+def st_transformer_torch_to_flax(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """Reference SpatialTemporal_Transformer (time_transformer.py:281) → our
+    SpatialTemporalTransformer params. The reference's patch-embedding Linear
+    is commented out (raw 3·p² patches must equal dim), so our explicit
+    projection receives the IDENTITY."""
+    params: Dict[str, Any] = {}
+
+    def arr(v):
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+
+    dim = None
+    for key, val in state_dict.items():
+        a = arr(val)
+        if key in ("space_token", "temporal_token", "pos_embedding"):
+            _set(params, (key,), a)
+            dim = a.shape[-1]
+        elif key.startswith("mlp_head.0."):
+            _set(params, ("head_norm",
+                          "scale" if key.endswith("weight") else "bias"), a)
+        elif key.startswith("mlp_head.1."):
+            _set(params, ("mlp_head",
+                          "kernel" if key.endswith("weight") else "bias"),
+                 a.T if key.endswith("weight") else a)
+        elif key.startswith(("space_transformer.", "temporal_transformer.")):
+            mod, rest = key.split(".", 1)
+            name, leaf, tr = _vit_layer_path(rest)
+            _set(params, (mod, name, leaf), a.T if tr else a)
+        else:
+            raise KeyError(f"unhandled ST-transformer key: {key}")
+    assert dim is not None
+    _set(params, ("patch_to_embedding", "kernel"), np.eye(dim, dtype=np.float32))
+    _set(params, ("patch_to_embedding", "bias"), np.zeros((dim,), np.float32))
+    return {"params": params}
