@@ -88,3 +88,51 @@ def test_st_transformer_matches_torch():
         st_transformer_torch_to_flax(ref.state_dict()),
         jnp.asarray(x.transpose(0, 1, 3, 4, 2)), train=False))
     np.testing.assert_allclose(out_j, out_t, atol=5e-5, rtol=1e-4)
+
+
+def test_gated_moe_matches_torch():
+    """GatedMoE late-fusion gate vs the reference module (engine_rgb.py:369),
+    including the asymmetric temperature clamps (t_rgb>=1, t_dual>=0.1)."""
+    import sys
+    import types
+
+    import torch
+
+    if "tqdm" not in sys.modules:
+        try:
+            import tqdm  # noqa: F401
+        except ImportError:
+            stub = types.ModuleType("tqdm")
+            stub.tqdm = lambda x, **k: x
+            sys.modules["tqdm"] = stub
+    ref_root = "/root/reference/dualrun"
+    if ref_root not in sys.path:
+        sys.path.insert(0, ref_root)
+    from rgb.engine_rgb import GatedMoE as RefGatedMoE
+
+    from stdd_tpu.models.dual_rgb import GatedMoE
+
+    torch.manual_seed(0)
+    ref = RefGatedMoE(hidden=8)
+    with torch.no_grad():
+        ref.t_rgb.fill_(0.7)      # below its clamp floor of 1.0
+        ref.t_dual.fill_(2.3)
+    ref.eval()
+    z_rgb = np.random.RandomState(0).randn(16, 1).astype(np.float32) * 3
+    z_dual = np.random.RandomState(1).randn(16, 1).astype(np.float32) * 3
+    with torch.no_grad():
+        z_t, g_t = ref(torch.from_numpy(z_rgb), torch.from_numpy(z_dual))
+
+    sd = ref.state_dict()
+    params = {
+        "t_rgb": np.float32(sd["t_rgb"].item()),
+        "t_dual": np.float32(sd["t_dual"].item()),
+        "gate_fc1": {"kernel": sd["gate.0.weight"].numpy().T,
+                     "bias": sd["gate.0.bias"].numpy()},
+        "gate_fc2": {"kernel": sd["gate.2.weight"].numpy().T,
+                     "bias": sd["gate.2.bias"].numpy()},
+    }
+    z_j, g_j = GatedMoE(hidden=8).apply(
+        {"params": params}, jnp.asarray(z_rgb), jnp.asarray(z_dual))
+    np.testing.assert_allclose(np.asarray(z_j), z_t.numpy(), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_j), g_t.numpy(), atol=1e-6)
