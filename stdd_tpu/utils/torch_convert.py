@@ -507,3 +507,60 @@ def st_transformer_torch_to_flax(state_dict: Mapping[str, Any]) -> Dict[str, Any
     _set(params, ("patch_to_embedding", "kernel"), np.eye(dim, dtype=np.float32))
     _set(params, ("patch_to_embedding", "bias"), np.zeros((dim,), np.float32))
     return {"params": params}
+
+
+def resnet2d_torch_to_flax(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """Reference 2D ResNet (torchvision-layout ``_resnet_base.py``) → our
+    :class:`stdd_tpu.models.resnet2d.ResNet2D` variables."""
+    import re
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def arr(v):
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+
+    def put_bn(base, leaf, a):
+        if leaf == "weight":
+            _set(params, base + ("scale",), a)
+        elif leaf == "bias":
+            _set(params, base + ("bias",), a)
+        elif leaf == "running_mean":
+            _set(stats, base + ("mean",), a)
+        elif leaf == "running_var":
+            _set(stats, base + ("var",), a)
+        else:
+            raise KeyError(leaf)
+
+    for key, val in state_dict.items():
+        k = _strip_prefixes(key)
+        if k.endswith("num_batches_tracked"):
+            continue
+        a = arr(val)
+        if k == "conv1.weight":
+            _set(params, ("conv1", "kernel"), a.transpose(2, 3, 1, 0))
+        elif k.startswith("bn1."):
+            put_bn(("bn1",), k.split(".", 1)[1], a)
+        elif k.startswith("fc."):
+            _set(params, ("fc", "kernel" if k.endswith("weight") else "bias"),
+                 a.T if k.endswith("weight") else a)
+        else:
+            m = re.match(r"layer(\d)\.(\d+)\.(.+)$", k)
+            if not m:
+                raise KeyError(f"unhandled resnet2d key: {key}")
+            blk = f"layer{m.group(1)}_{m.group(2)}"
+            rest = m.group(3).split(".")
+            if rest[0].startswith("conv"):
+                _set(params, (blk, rest[0], "Conv_0", "kernel"),
+                     a.transpose(2, 3, 1, 0))
+            elif rest[0].startswith("bn"):
+                put_bn((blk, "conv" + rest[0][2:], "BatchNorm_0"), rest[1], a)
+            elif rest[0] == "downsample":
+                if rest[1] == "0":
+                    _set(params, (blk, "downsample", "Conv_0", "kernel"),
+                         a.transpose(2, 3, 1, 0))
+                else:
+                    put_bn((blk, "downsample", "BatchNorm_0"), rest[2], a)
+            else:
+                raise KeyError(f"unhandled resnet2d key: {key}")
+    return {"params": params, "batch_stats": stats}
