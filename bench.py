@@ -190,11 +190,20 @@ def bench_i3d_throughput():
 def main():
     try:
         result = bench_engine()
-    except Exception as e:  # pragma: no cover — environmental fallback
+    except Exception:  # pragma: no cover — environmental fallback
         import sys, traceback
 
         traceback.print_exc(file=sys.stderr)
-        result = bench_i3d_throughput()
+        try:
+            result = bench_i3d_throughput()
+        except Exception:
+            # the TPU backend itself is unavailable (observed: the axon
+            # plugin can be down for hours — "UNAVAILABLE: TPU backend
+            # setup/compile error"); force the CPU platform and emit an
+            # honest fallback line rather than nothing
+            traceback.print_exc(file=sys.stderr)
+            jax.config.update("jax_platforms", "cpu")
+            result = bench_engine()
     print(json.dumps(result))
 
 
