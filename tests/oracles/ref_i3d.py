@@ -178,8 +178,7 @@ def _make_cfg(num_frames=32, crop_size=224, num_classes=1):
 def build_reference_i3d(num_frames=32, crop_size=224, num_classes=1, seed=0):
     """Return the reference torch ResNet(I3D) in eval mode."""
     _install_fvcore_stub()
-    if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
+    use_reference_root(REFERENCE_ROOT)
     import torch
 
     torch.manual_seed(seed)
@@ -195,8 +194,7 @@ def build_reference_resunet(cls_name: str, num_frames=4, crop_size=32,
     """Return a reference torch ResUNet* variant in eval mode
     (video_model_builder.py:1812 ResUNetContinus / :2046 ResUNetCommon …)."""
     _install_fvcore_stub()
-    if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
+    use_reference_root(REFERENCE_ROOT)
     import torch
     from fvcore.common.config import CfgNode
 
@@ -211,9 +209,6 @@ def build_reference_resunet(cls_name: str, num_frames=4, crop_size=32,
     model = getattr(vmb, cls_name)(cfg)
     model.eval()
     return model
-
-
-_FTCN_CFG_READY = False
 
 
 def build_reference_ftcn(seed: int = 0):
@@ -238,22 +233,20 @@ def build_reference_ftcn(seed: int = 0):
         tm.layers = tl
         sys.modules.update(
             {"timm": timm, "timm.models": tm, "timm.models.layers": tl})
-    if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
+    use_reference_root(REFERENCE_ROOT)
     cwd = os.getcwd()
     try:
         os.chdir(REFERENCE_ROOT)   # the config resolves YAMLs relative to cwd
         from config import config as ref_cfg
 
-        # NB: the guard must live HERE — the reference AttrDict auto-
-        # vivifies missing attributes to a (truthy) empty AttrDict, so a
-        # flag stored on ref_cfg would read as already-set
-        global _FTCN_CFG_READY
-        if not _FTCN_CFG_READY:
+        # init guard: check the instance __dict__ directly — the reference
+        # AttrDict auto-vivifies missing ATTRIBUTES to a (truthy) empty
+        # AttrDict, and a module-global flag would go stale when
+        # use_reference_root evicts and re-imports the config module
+        if "setting_name" not in ref_cfg.__dict__:
             ref_cfg.init_with_yaml()
             ref_cfg.update_with_yaml("ftcn_tt.yaml")
             ref_cfg.freeze()
-            _FTCN_CFG_READY = True
         import model.classifier.i3d_temporal_var_fix_dropout_tt_cfg as plug
 
         plug.parameters = [p for p in plug.parameters
@@ -271,8 +264,7 @@ def build_reference_slowfast(num_frames=16, crop_size=64, num_classes=1,
     """Return the reference torch SlowFast (video_model_builder.py:147) in
     eval mode."""
     _install_fvcore_stub()
-    if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
+    use_reference_root(REFERENCE_ROOT)
     import torch
     from fvcore.common.config import CfgNode
 
@@ -299,3 +291,26 @@ def build_reference_slowfast(num_frames=16, crop_size=64, num_classes=1,
     model = SlowFast(cfg)
     model.eval()
     return model
+
+
+def use_reference_root(root: str) -> None:
+    """Make ``root`` the active reference tree on sys.path. Both reference
+    trees (altfreezing and dualrun) define a top-level ``model`` package, so
+    cached modules imported from ANOTHER reference root are evicted first —
+    without this, whichever tree a test imported first silently shadows the
+    other's packages (order-dependent ModuleNotFoundError in the full suite).
+    """
+    evict_tops = set()
+    for name, mod in list(sys.modules.items()):
+        f = getattr(mod, "__file__", None) or ""
+        if f.startswith("/root/reference/") and not f.startswith(root + "/"):
+            evict_tops.add(name.split(".")[0])
+    for top in evict_tops:
+        for n in list(sys.modules):
+            if n == top or n.startswith(top + "."):
+                sys.modules.pop(n, None)
+    for p in list(sys.path):
+        if p.startswith("/root/reference/") and p != root:
+            sys.path.remove(p)
+    if root not in sys.path:
+        sys.path.insert(0, root)

@@ -41,7 +41,9 @@ def _stub_mediapipe():
 
 
 def test_lmk_features_match_reference():
-    sys.path.insert(0, REF)
+    from tests.oracles.ref_i3d import use_reference_root
+
+    use_reference_root(REF)
     _stub_mediapipe()
     from data.make_lmk_features import _frame_to_features
 
@@ -58,7 +60,9 @@ def test_lmk_features_match_reference():
 
 
 def test_au_features_match_reference():
-    sys.path.insert(0, REF)
+    from tests.oracles.ref_i3d import use_reference_root
+
+    use_reference_root(REF)
     from data.make_au_features import seq_au_to_features
 
     rng = np.random.RandomState(1)
@@ -70,7 +74,9 @@ def test_au_features_match_reference():
 
 
 def test_tech_inference_matches_reference():
-    sys.path.insert(0, REF)
+    from tests.oracles.ref_i3d import use_reference_root
+
+    use_reference_root(REF)
     from data.dataset_dual import _infer_tech_from_path
 
     paths = [

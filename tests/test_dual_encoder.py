@@ -22,8 +22,9 @@ REF = "/root/reference/dualrun"
 
 def _ref_model(**kw):
     torch = pytest.importorskip("torch")
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
+    from tests.oracles.ref_i3d import use_reference_root
+
+    use_reference_root(REF)
     from model.dual_encoder import DualEncoderAU_LMK as RefDual
 
     torch.manual_seed(0)

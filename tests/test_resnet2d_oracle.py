@@ -16,9 +16,9 @@ def _build_ref(variant):
 
     import torch
 
-    root = "/root/reference/altfreezing"
-    if root not in sys.path:
-        sys.path.insert(0, root)
+    from tests.oracles.ref_i3d import use_reference_root
+
+    use_reference_root("/root/reference/altfreezing")
     from model.classifier import _resnet_base as rb
 
     torch.manual_seed(0)

@@ -18,7 +18,11 @@ from stdd_tpu.utils.torch_convert import (
     st_transformer_torch_to_flax,
     videoit_torch_to_flax,
 )
-from tests.oracles.ref_i3d import REFERENCE_ROOT, _install_fvcore_stub
+from tests.oracles.ref_i3d import (
+    REFERENCE_ROOT,
+    _install_fvcore_stub,
+    use_reference_root,
+)
 
 
 def _import_reference_tt():
@@ -37,8 +41,7 @@ def _import_reference_tt():
         tm.layers = tl
         sys.modules.update(
             {"timm": timm, "timm.models": tm, "timm.models.layers": tl})
-    if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
+    use_reference_root(REFERENCE_ROOT)
     import model.classifier.time_transformer as tt
 
     return tt
@@ -105,9 +108,9 @@ def test_gated_moe_matches_torch():
             stub = types.ModuleType("tqdm")
             stub.tqdm = lambda x, **k: x
             sys.modules["tqdm"] = stub
-    ref_root = "/root/reference/dualrun"
-    if ref_root not in sys.path:
-        sys.path.insert(0, ref_root)
+    from tests.oracles.ref_i3d import use_reference_root as _use
+
+    _use("/root/reference/dualrun")
     from rgb.engine_rgb import GatedMoE as RefGatedMoE
 
     from stdd_tpu.models.dual_rgb import GatedMoE
