@@ -84,3 +84,47 @@ def test_engine_all_empty_detections_is_clean():
     verdict = eng.finish()
     assert not verdict.raw_scores
     assert not verdict.video_fake
+
+
+def test_ring_engine_survives_fuzz_with_crowd_overflow():
+    """Ring mode under churn AND ring-budget pressure: flickering faces,
+    degenerate boxes, more simultaneous tracks than max_rings (overflow
+    tracks take the host-packed path, so dispatch batches can mix window
+    and packed clips). Must never crash, must keep scoring, must GC ring
+    state with dead tracks."""
+    rng = np.random.RandomState(7)
+    state = {"f": 0}
+
+    def detect(frame_bgr):
+        f = state["f"]
+        state["f"] += 1
+        rows = []
+        # three stable faces (> max_rings=2) so overflow is permanent
+        for k in range(3):
+            if f % (11 + k) != 0:                 # each flickers occasionally
+                rows.append(_row(20 + 90 * k + 0.4 * f, 40 + 0.2 * f, 55, 62))
+        if rng.rand() < 0.3:                      # transient churn
+            rows.append(_row(30 + 15 * (f % 4), 160, 48, 50, 0.9))
+        if rng.rand() < 0.2:                      # degenerate
+            rows.append(_row(318, 238, 1, 1, 0.95))
+        return np.asarray(rows, np.float32) if rows else np.empty((0, 15), np.float32)
+
+    pipe = PipelineConfig(clip_size=8, imsize=64, stride=4, detect_every=2,
+                          batch_clips=2, min_face_side=8)
+    scorer = ClipScorer.random_init(cfg=SMALL_CFG, dtype=jnp.float32)
+    eng = StreamingEngine(
+        scorer, detect, cfg=pipe, crop_buffer=160,
+        q_lap_hard=0.0, q_lap_soft=0.0, q_weighting=False, drop_after=12,
+        device_resident=True, max_rings=2,
+    )
+    frame = np.random.RandomState(2).randint(0, 255, (240, 320, 3), np.uint8)
+    scored = []
+    for _ in range(120):
+        scored += eng.step(frame)
+    scored += eng.flush()
+    assert len(eng.rings) <= 2
+    # the three stable faces all scored despite only two rings
+    assert len({t for t, _ in scored}) >= 3, scored
+    assert all(0.0 <= p <= 1.0 for _, p in scored)
+    # GC: transient tracks' ring/buffer state does not accumulate
+    assert len(eng.buffers) <= 6 and len(eng.since_emit) <= 6
