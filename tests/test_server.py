@@ -237,3 +237,59 @@ def test_server_ring_mode_defaults_to_eager_dispatch():
     packed_srv = MultiStreamServer(scorer, cfg=PIPE, device_resident=False,
                                    q_weighting=False, q_lap_hard=0.0)
     assert packed_srv._root.max_batch_wait_frames == PIPE.stride
+
+
+def test_concurrent_threaded_streams_ring_mode():
+    """Threaded calls in device-ring mode: the shared RingUploader, per-ring
+    error bookkeeping and the group's window dispatch must stay consistent
+    when streams step from their own threads. Each stream's per-track score
+    sequence must equal its standalone ring-mode run."""
+    import threading
+
+    scorer = ClipScorer.random_init(cfg=SMALL_CFG, dtype=jnp.float32)
+    frame = _frame()
+
+    def solo_run():
+        eng = StreamingEngine(scorer, make_fake_detector(), cfg=PIPE,
+                              device_resident=True, **ENG_KW)
+        out = []
+        for _ in range(30):
+            out += eng.step(frame)
+        out += eng.flush()
+        per = {}
+        for tid, p in out:
+            per.setdefault(tid, []).append(p)
+        return per
+
+    solo = solo_run()
+    assert solo and all(v for v in solo.values())
+
+    server = MultiStreamServer(scorer, cfg=PIPE, device_resident=True,
+                               **ENG_KW)
+    sids = [server.add_stream(make_fake_detector()) for _ in range(3)]
+    got = {sid: [] for sid in sids}
+    errs = []
+
+    def run(sid):
+        try:
+            for _ in range(30):
+                got[sid] += server.step(sid, frame)
+            got[sid] += server.flush(sid)
+        except BaseException as e:   # pragma: no cover - failure path
+            errs.append(e)
+
+    threads = [threading.Thread(target=run, args=(sid,)) for sid in sids]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    for sid in sids:
+        got[sid] += server.engine(sid)._take_ready()
+    for sid in sids:
+        per = {}
+        for tid, p in got[sid]:
+            per.setdefault(tid, []).append(p)
+        assert set(per) == set(solo)
+        for tid in solo:
+            np.testing.assert_allclose(per[tid], solo[tid], atol=1e-5)
