@@ -370,6 +370,7 @@ def main(argv=None):
             f"fps={res['fps']:.1f}"
         )
 
+    engine.close()   # release ring-uploader/detector worker threads
     summary = summarize(rows, model_size)
     write_csvs(rows, summary, args.out_dir, args.threshold)
     print("Summary:", {k: summary[k] for k in ("videos", "accuracy", "auc_roc", "mean_fps")})

@@ -155,8 +155,13 @@ class ClipScorer:
         )
         # jitted variants keyed on (path, scaled): 'pallas'/'gather' forced
         # branches for host-side per-clip routing, plus per-frame-scale
-        # versions for the device-ring path
+        # versions for the device-ring path. The lock closes a cache-miss
+        # race: the two dispatch lanes could otherwise each build (and XLA-
+        # compile) their own executable for the same key (ADVICE r2 #2).
         self._score_variants = {("auto", False): self._score}
+        import threading as _threading
+
+        self._variants_lock = _threading.Lock()
 
     def _align_batch(self, crops, boxes, lm5, valid, scale=None, path="auto"):
         """Batched clip-stable alignment. On TPU the warp runs as the Pallas
@@ -253,17 +258,20 @@ class ClipScorer:
         key = (path, scaled)
         fn = self._score_variants.get(key)
         if fn is None:
-            if scaled:
-                fn = jax.jit(
-                    lambda c, b, l, v, s: self._score_impl(
-                        c, b, l, v, scale=s, path=path
-                    )
-                )
-            else:
-                fn = jax.jit(
-                    lambda c, b, l, v: self._score_impl(c, b, l, v, path=path)
-                )
-            self._score_variants[key] = fn
+            with self._variants_lock:
+                fn = self._score_variants.get(key)
+                if fn is None:
+                    if scaled:
+                        fn = jax.jit(
+                            lambda c, b, l, v, s: self._score_impl(
+                                c, b, l, v, scale=s, path=path
+                            )
+                        )
+                    else:
+                        fn = jax.jit(
+                            lambda c, b, l, v: self._score_impl(c, b, l, v, path=path)
+                        )
+                    self._score_variants[key] = fn
         return fn
 
     def _score_impl(self, crops, boxes, lm5, valid, with_features: bool = False,
@@ -373,12 +381,15 @@ class ClipScorer:
         key = ("windows", len(windows), path)
         fn = self._score_variants.get(key)
         if fn is None:
-            fn = jax.jit(
-                lambda ws, b, l, v, s: self._score_impl(
-                    jnp.stack(ws), b, l, v, scale=s, path=path
-                )
-            )
-            self._score_variants[key] = fn
+            with self._variants_lock:
+                fn = self._score_variants.get(key)
+                if fn is None:
+                    fn = jax.jit(
+                        lambda ws, b, l, v, s: self._score_impl(
+                            jnp.stack(ws), b, l, v, scale=s, path=path
+                        )
+                    )
+                    self._score_variants[key] = fn
         return fn(
             list(windows), jnp.asarray(boxes, jnp.float32),
             jnp.asarray(lm5, jnp.float32), jnp.asarray(valid),

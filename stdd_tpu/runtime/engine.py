@@ -10,6 +10,11 @@ host plane (per frame, numpy):   detect-cadence → ByteTrack → landmark cache
 device plane (per flush, jitted): batched align+normalize+I3D+sigmoid
                                  (:class:`~stdd_tpu.runtime.classifier.ClipScorer`)
 
+The device-side pipeline (pending pool, upload lanes, FIFO harvest, shared
+ring kernels) lives in :class:`~stdd_tpu.runtime.dispatch.DispatchGroup`;
+this module keeps the PER-STREAM state machine: tracking, landmark caching,
+quality gating, per-track rings/buffers, and verdict accumulation.
+
 Fixed shapes everywhere on device: clips are padded to
 ``[batch_clips, clip_size, crop_buffer, crop_buffer, 3]``; oversized crops are
 rescaled host-side by ONE per-clip factor (a similarity fit absorbs a uniform
@@ -27,17 +32,17 @@ detections — the same caching cadence the reference uses for its mesh
 from __future__ import annotations
 
 import collections
-import queue
 import threading
-from dataclasses import dataclass, field
-from typing import Any, Callable, Deque, Dict, List, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Any, Callable, Deque, Dict, List, Optional, Tuple
 
 import numpy as np
 
 from ..config import PipelineConfig
 from ..ops.quality import crop_quality
-from ..track.byte_tracker import ByteTracker, Track
+from ..track.byte_tracker import ByteTracker
 from .classifier import ClipScorer
+from .dispatch import DispatchGroup, _PendingClip  # re-export for tests
 from .scoring import HysteresisState, VideoVerdict, aggregate_video
 
 
@@ -65,19 +70,6 @@ class _FrameEntry:
     crop: np.ndarray          # RGB uint8 big-box crop (native resolution)
     big_box: np.ndarray       # absolute (x1, y1, x2, y2) int
     lm5: np.ndarray           # crop-local [5, 2] float32
-
-
-@dataclass
-class _PendingClip:
-    tid: int
-    entries: List[_FrameEntry]
-    owner: Any = None             # engine whose stream produced this clip
-    owner_gen: int = 0            # owner's reset generation at enqueue time
-    tick: int = 0                 # group step counter at enqueue (batch-wait age)
-    t_enq: float = 0.0            # perf_counter at enqueue (TEST2.py:316 latency)
-    # device-ring mode: (dev_window [T,...] u8 in HBM, boxes [T,4],
-    # lm5 [T,5,2], scale [T]) — entries stay metadata-only
-    window: Optional[tuple] = None
 
 
 class AsyncDetector:
@@ -193,10 +185,9 @@ class StreamingEngine:
         # buys nothing — and co-tracked faces emit their windows in the SAME
         # step, which still batches them before the end-of-step dispatch.
         if max_batch_wait_frames == "stride":
-            self.max_batch_wait_frames = 0 if self.device_resident else self.cfg.stride
+            max_batch_wait_frames = 0 if self.device_resident else self.cfg.stride
             self._explicit_wait = False
         else:
-            self.max_batch_wait_frames = max_batch_wait_frames
             self._explicit_wait = True
         # extra detection filters (TEST2.py:516-529)
         self.min_det_area = min_det_area
@@ -205,10 +196,15 @@ class StreamingEngine:
         # ONE dispatch group (pending pool + upload lanes + in-flight set) so
         # device batches fill across streams; each clip routes its result
         # back to the engine that produced it (see MultiStreamServer)
-        self._group: "StreamingEngine" = share_dispatch_from or self
-        if share_dispatch_from is not None:
+        if share_dispatch_from is None:
+            self._group = DispatchGroup(
+                scorer, self.cfg, crop_buffer, self.device_resident,
+                max_batch_wait_frames, default_owner=self,
+            )
+            self._is_group_root = True
+        else:
             root = share_dispatch_from
-            if root._group is not root:
+            if not getattr(root, "_is_group_root", False):
                 raise ValueError("share_dispatch_from must be a group-root engine")
             if root.scorer is not self.scorer:
                 raise ValueError("shared-dispatch engines must share one scorer")
@@ -228,84 +224,50 @@ class StreamingEngine:
             # (the "stride" default means "inherit from the root")
             if (
                 self._explicit_wait
-                and self.max_batch_wait_frames != root.max_batch_wait_frames
+                and max_batch_wait_frames != root._group.max_batch_wait_frames
             ):
                 raise ValueError(
                     "max_batch_wait_frames is group-level; set it on the "
-                    f"root engine (root has {root.max_batch_wait_frames!r})"
+                    f"root engine (root has {root._group.max_batch_wait_frames!r})"
                 )
+            self._group = root._group
+            self._is_group_root = False
         self.reset()
 
-    # group-level pipeline state lives on the root; secondaries delegate
+    # group-level pipeline state lives on the DispatchGroup; engines delegate
     # reads so previously-public attributes keep working on server streams
     # (_worker_error is deliberately PER-engine: a failed batch's error is
     # routed to the streams that owned its clips, not to whoever harvests)
     _GROUP_ATTRS = frozenset(
-        ("pending", "inflight", "clip_latencies",
+        ("pending", "inflight", "clip_latencies", "max_batch_wait_frames",
          "_tick", "_next_seq", "_next_harvest_seq",
-         "_lock", "_state_lock", "_harvest_lock", "_dispatch_q", "_workers")
+         "_lock", "_state_lock", "_harvest_lock", "_dispatch_q", "_workers",
+         "_ring_kernels", "_ring_uploader")
     )
 
     def __getattr__(self, name):
         if name in StreamingEngine._GROUP_ATTRS:
             group = self.__dict__.get("_group")
-            if group is not None and group is not self:
+            if group is not None:
                 return getattr(group, name)
         raise AttributeError(
             f"{type(self).__name__!r} object has no attribute {name!r}"
         )
 
     def reset(self) -> None:
-        group_root = self._group is self
-        if group_root:
+        if self._is_group_root:
             # drain queued/in-flight work from the previous stream FIRST so
             # late arrivals can't leak scores into the new stream
-            if hasattr(self, "_dispatch_q"):
-                self._dispatch_q.join()
-                with self._lock:
-                    self.inflight = []
-            self.pending: List[_PendingClip] = []
-            self._tick = 0
-            # bounded: a never-reset serving root must not grow forever
-            self.clip_latencies: Deque[float] = collections.deque(maxlen=10000)
-            # in-flight async device batches: (seq, clips, device_probs,
-            # t_dispatch); harvested strictly in dispatch order (seq) so
-            # per-track score sequences are deterministic even when the two
-            # upload lanes finish out of order
-            self.inflight: List[Tuple[int, List[_PendingClip], Any, float]] = []
-            self._next_seq = 0
-            self._next_harvest_seq = 0
-            # background dispatch worker: the host→device upload of a packed
-            # clip batch blocks for seconds through the axon relay; doing it
-            # off-thread keeps the frame loop running (decode/track/pack
-            # fully overlap with upload AND device compute). Workers live on
-            # the group root and survive resets.
-            if not hasattr(self, "_workers"):
-                self._lock = threading.Lock()          # guards .inflight
-                # guards pending / seq / age when streams of a shared group
-                # step from different threads (RLock: _dispatch runs under it)
-                self._state_lock = threading.RLock()
-                self._harvest_lock = threading.Lock()  # serializes _harvest
-                self._dispatch_q = queue.Queue()
-                # two upload lanes: through the relay a single 50MB H2D takes
-                # seconds; two threads overlap consecutive batch uploads
-                self._workers = [
-                    threading.Thread(target=self._dispatch_worker, daemon=True)
-                    for _ in range(2)
-                ]
-                for w in self._workers:
-                    w.start()
+            self._group.reset()
         else:
             # a secondary engine's reset: drop its queued-but-undispatched
             # clips (no point uploading them), and bump its generation so
             # genuinely in-flight clips are discarded at harvest — peers are
             # undisturbed either way
-            group = self._group
-            with group._state_lock:
-                group.pending = [c for c in group.pending if c.owner is not self]
+            self._group.drop_owner(self)
         self._gen = getattr(self, "_gen", 0) + 1
         # per-engine: errors from batches this stream owned (see
-        # _dispatch_worker/_harvest_locked error routing)
+        # DispatchGroup error routing)
         self._worker_error: Optional[BaseException] = None
         # guards _ready against a peer thread's harvest routing racing
         # _take_ready's swap
@@ -333,22 +295,23 @@ class StreamingEngine:
         """Pre-compile the scorer for every batch capacity this engine's
         dispatch group can ship, so no clip ever waits on an XLA compile.
         Call once at serving startup (the CLIs do, gated to accelerators)."""
-        from .packing import pow2_capacities, upload_format_of
+        self._group.warmup()
 
-        group = self._group
-        if group.device_resident:
-            from .ring import RingKernels
-
-            if not hasattr(group, "_ring_kernels"):
-                group._ring_kernels = RingKernels(
-                    R=group.cfg.clip_size, S=group.crop_buffer,
-                    yuv420=upload_format_of(group.scorer) == "yuv420",
-                )
-            group._ring_kernels.warmup(group.cfg.clip_size)
-        group.scorer.warmup(
-            group.crop_buffer, pow2_capacities(group.cfg.batch_clips),
-            group.cfg.clip_size, windows=group.device_resident,
-        )
+    def close(self) -> None:
+        """Release background resources: per-track rings, the detector's
+        worker (when it has a ``close``), and — if this engine owns its
+        dispatch group — the group's ring uploader thread (ADVICE r2 #3:
+        uploader daemons used to outlive their engines in per-video loops).
+        Safe to call more than once; the engine must not be stepped after."""
+        for tid in list(self.rings):
+            self._drop_ring(tid)
+        if hasattr(self.detect_fn, "close"):
+            try:
+                self.detect_fn.close()
+            except Exception:
+                pass
+        if self._is_group_root:
+            self._group.close()
 
     # -- per-frame host path -------------------------------------------------
 
@@ -499,32 +462,18 @@ class StreamingEngine:
                         continue
                 else:
                     window = None
-                group = self._group
-                with group._state_lock:
-                    group.pending.append(
-                        _PendingClip(tid, list(buf), owner=self,
-                                     owner_gen=self._gen, tick=group._tick,
-                                     t_enq=time.perf_counter(), window=window)
-                    )
+                self._group.enqueue(
+                    _PendingClip(tid, list(buf), owner=self,
+                                 owner_gen=self._gen,
+                                 t_enq=time.perf_counter(), window=window)
+                )
                 self.since_emit[tid] = 0
 
         self._gc_tracks()
 
         group = self._group
-        with group._state_lock:
-            group._tick += 1
-            wait = group.max_batch_wait_frames
-            # dispatch every full batch; in latency mode also ship a partial
-            # batch once its OLDEST clip has waited `wait` group steps (each
-            # clip carries its enqueue tick, so leftover clips keep their age
-            # across partial dispatches)
-            while len(group.pending) >= group.cfg.batch_clips or (
-                group.pending
-                and wait is not None
-                and group._tick - group.pending[0].tick >= wait
-            ):
-                group._dispatch()
-        group._harvest(block=False)
+        group.tick_and_dispatch()
+        group.harvest(block=False)
         self._raise_worker_error()
         results.extend(self._take_ready())
         return results
@@ -542,11 +491,8 @@ class StreamingEngine:
         dispatching NEW batches concurrently do not extend this wait (the
         target sequence is snapshotted up front)."""
         group = self._group
-        with group._state_lock:
-            while group.pending:
-                group._dispatch()
-            target = group._next_seq
-        group._harvest_until(target)
+        target = group.drain_snapshot()
+        group.harvest_until(target)
         self._raise_worker_error()
         return self._take_ready()
 
@@ -572,6 +518,13 @@ class StreamingEngine:
         )
 
     # -- internals ------------------------------------------------------------
+
+    def _raise_worker_error(self) -> None:
+        if self._worker_error is not None:
+            exc, self._worker_error = self._worker_error, None
+            raise RuntimeError(
+                "scoring worker failed; the batch was dropped"
+            ) from exc
 
     def _landmarks_for(
         self, tid: int, box: np.ndarray, dets: Optional[np.ndarray]
@@ -600,17 +553,9 @@ class StreamingEngine:
         (max_rings × ~3-6 MB per ring). The shared uploader moves the
         per-frame H2D transfer (several ms of wire time through the relay)
         off the stepping thread."""
-        from .packing import upload_format_of
-        from .ring import DeviceRing, RingKernels, RingUploader
+        from .ring import DeviceRing
 
         group = self._group
-        if not hasattr(group, "_ring_kernels"):
-            group._ring_kernels = RingKernels(
-                R=group.cfg.clip_size, S=group.crop_buffer,
-                yuv420=upload_format_of(group.scorer) == "yuv420",
-            )
-        if not hasattr(group, "_ring_uploader"):
-            group._ring_uploader = RingUploader()
         if len(self.rings) >= self.max_rings:
             # evict the least-recently-seen ring — but never one whose face
             # is live in this frame (that would cascade: each evicted live
@@ -626,7 +571,7 @@ class StreamingEngine:
             self._drop_ring(lru)
             self.buffers.pop(lru, None)   # its window continuity is gone
             self.since_emit.pop(lru, None)
-        return DeviceRing(group._ring_kernels, uploader=group._ring_uploader)
+        return DeviceRing(group.ring_kernels(), uploader=group.ring_uploader())
 
     def _drop_ring(self, tid: int) -> None:
         ring = self.rings.pop(tid, None)
@@ -647,311 +592,6 @@ class StreamingEngine:
             self.last_seen.pop(tid, None)
             self.hysteresis.drop(tid)
 
-    def _dispatch(self) -> None:
-        """Pack the next batch and hand it to the device WITHOUT blocking —
-        JAX dispatch is async, so tracking/decode of subsequent frames
-        overlaps with alignment+scoring of this batch (the TPU-native
-        replacement for the reference's batch_clips+AMP flush,
-        TEST2.py:393)."""
-        import time
-
-        with self._state_lock:
-            batch = self.pending[: self.cfg.batch_clips]
-            self.pending = self.pending[self.cfg.batch_clips :]
-            if not batch:
-                return
-            # packing (downscale + zero-pad of B*T crops) happens on the
-            # worker thread too, so the stepping thread only enqueues
-            seq = self._next_seq
-            self._next_seq += 1
-        self._dispatch_q.put((seq, batch, time.perf_counter()))
-
-    def _cap_for(self, n: int) -> int:
-        """Next power-of-2 dispatch capacity ≥ n (bounded by batch_clips)."""
-        from .packing import pow2_capacities
-
-        return next(
-            (c for c in pow2_capacities(self.cfg.batch_clips) if c >= n),
-            self.cfg.batch_clips,
-        )
-
-    def _pack_and_score(self, batch: List[_PendingClip], path: str = "auto"):
-        """Pack a (sub-)batch to the next power-of-2 capacity and dispatch it
-        asynchronously — a padded batch uploads its full fixed-shape buffer,
-        so shipping a 1-clip flush in an 8-slot buffer wastes 7/8 of the H2D
-        bytes (the streaming bottleneck). Capacities are powers of two so the
-        executable count stays at log2(batch_clips)+1 per path (jit caches
-        per shape). → (device probs, boxes, lm5)."""
-        from .packing import pack_clip_batch, upload_format_of
-
-        cap = self._cap_for(len(batch))
-        crops, boxes, lm5, valid = pack_clip_batch(
-            [c.entries for c in batch], cap,
-            self.cfg.clip_size, self.crop_buffer,
-            yuv420=upload_format_of(self.scorer) == "yuv420",
-        )
-        return self.scorer.score_async(crops, boxes, lm5, valid, path=path), boxes, lm5
-
-    def _batch_drift(self, batch: List[_PendingClip]) -> np.ndarray:
-        """Per-clip Pallas-band drift for a pending batch, computed from the
-        raw (unscaled) entries: the pack scale s = min(1, S/max_dim) scales
-        the fitted |m10| linearly, so it's applied via clip_fit_drift's
-        ``scale`` argument without packing first."""
-        from .classifier import clip_fit_drift
-
-        T = self.cfg.clip_size
-        S = self.crop_buffer
-        B = len(batch)
-        boxes = np.zeros((B, T, 4), np.float32)
-        lm5 = np.zeros((B, T, 5, 2), np.float32)
-        scales = np.ones((B, T), np.float32)
-        for bi, clip in enumerate(batch):
-            entries = list(clip.entries)
-            while len(entries) < T:
-                entries = entries + [entries[-1]]
-            max_dim = max(max(e.crop.shape[0], e.crop.shape[1]) for e in entries)
-            s = min(1.0, S / float(max_dim))
-            for ti, e in enumerate(entries[:T]):
-                boxes[bi, ti] = np.asarray(e.big_box, np.float32)
-                lm5[bi, ti] = np.asarray(e.lm5, np.float32)
-            scales[bi] = s
-        return clip_fit_drift(
-            boxes, lm5, self.scorer.cfg.crop_size,
-            template=np.asarray(self.scorer._template), scale=scales,
-        )
-
-    def _ship_windows(self, sub: List[_PendingClip]):
-        """Dispatch device-ring windows: pixels are already in HBM, so only
-        geometry (KBs) is uploaded. Pads to the next pow2 capacity."""
-        T = self.cfg.clip_size
-        cap = self._cap_for(len(sub))
-        boxes = np.ones((cap, T, 4), np.float32)
-        lm5 = np.ones((cap, T, 5, 2), np.float32)
-        scale = np.ones((cap, T), np.float32)
-        valid = np.zeros((cap,), bool)
-        ws = []
-        for k, clip in enumerate(sub):
-            dev_w, b, l, s = clip.window
-            ws.append(dev_w)
-            boxes[k], lm5[k], scale[k] = b, l, s
-            valid[k] = True
-        if len(ws) < cap:
-            if not hasattr(self, "_zero_window"):
-                import jax.numpy as jnp
-
-                self._zero_window = jnp.zeros(
-                    (T,) + self._ring_kernels.slot_shape, jnp.uint8
-                )
-            ws.extend([self._zero_window] * (cap - len(ws)))
-        return self.scorer.score_windows(ws, boxes, lm5, scale, valid)
-
-    def _windows_drift(self, sub: List[_PendingClip]) -> np.ndarray:
-        from .classifier import clip_fit_drift
-
-        return clip_fit_drift(
-            np.stack([c.window[1] for c in sub]),
-            np.stack([c.window[2] for c in sub]),
-            self.scorer.cfg.crop_size,
-            template=np.asarray(self.scorer._template),
-            scale=np.stack([c.window[3] for c in sub]),
-        )
-
-    def _score_batch(self, batch: List[_PendingClip]):
-        """Route one dispatch batch to the device. Two orthogonal splits:
-
-        - window clips (device-ring) vs host-packed clips ship through
-          different programs (a crowd-overflow track has no ring, so a ring-
-          mode batch CAN mix both);
-        - within each, clips are split by the host-side drift probe
-          (clip_fit_drift) so one out-of-envelope face demotes only its own
-          sub-batch to the slow gather warp, never its peers (VERDICT r1 #5).
-
-        Every sub-batch ships with path='auto': the scorer's in-graph
-        envelope cond stays the correctness authority (the host probe fits
-        the inverse map directly and can disagree near the band edge, so a
-        statically forced branch could warp out-of-envelope rows silently),
-        and 'auto' executables contain both branches, so the warmed set
-        covers everything the router can dispatch — no hot-path compiles.
-
-        → dev array (single ship covering the whole batch, in order) or
-        ``[(indices, dev), ...]`` pieces for the harvester."""
-        groups: List[Tuple[List[int], List[_PendingClip], bool]] = []
-        idx_w = [i for i, c in enumerate(batch) if c.window is not None]
-        idx_h = [i for i, c in enumerate(batch) if c.window is None]
-        for idx, is_window in ((idx_w, True), (idx_h, False)):
-            if not idx:
-                continue
-            sub = [batch[i] for i in idx]
-            if getattr(self.scorer, "use_pallas_warp", False) and len(sub) > 1:
-                drift = (self._windows_drift(sub) if is_window
-                         else self._batch_drift(sub))
-                band = self.scorer.warp_band
-                in_b = [j for j, d in enumerate(drift) if d <= band]
-                out_b = [j for j, d in enumerate(drift) if d > band]
-                subgroups = [g for g in (in_b, out_b) if g]
-            else:
-                subgroups = [list(range(len(sub)))]
-            for g in subgroups:
-                groups.append(([idx[j] for j in g], [sub[j] for j in g],
-                               is_window))
-
-        def ship(sub, is_window):
-            if is_window:
-                return self._ship_windows(sub)
-            dev, _, _ = self._pack_and_score(sub, path="auto")
-            return dev
-
-        if len(groups) == 1:
-            idx, sub, is_window = groups[0]
-            return ship(sub, is_window)   # idx == range(len(batch)), in order
-        return [(idx, ship(sub, is_window)) for idx, sub, is_window in groups]
-
-    def _dispatch_worker(self) -> None:
-        while True:
-            item = self._dispatch_q.get()
-            batch: List[_PendingClip] = []
-            try:
-                if item is None:
-                    continue
-                seq, batch, t0 = item
-                dev = self._score_batch(batch)
-                with self._lock:
-                    self.inflight.append((seq, batch, dev, t0))
-            except Exception as exc:
-                # a dead worker would deadlock every later _dispatch_q.join();
-                # keep the thread alive, drop the batch (a None sentinel so
-                # the FIFO harvest cursor still advances), and surface the
-                # error ONLY to the streams whose clips were in the failed
-                # batch — a peer call's step() must not crash on an
-                # unrelated stream's upload failure
-                import traceback
-
-                traceback.print_exc()
-                owners = {c.owner or self for c in batch} or {self}
-                for owner in owners:
-                    owner._worker_error = exc
-                if item is not None:
-                    with self._lock:
-                        self.inflight.append((item[0], [], None, item[2]))
-            finally:
-                self._dispatch_q.task_done()
-
-    def _raise_worker_error(self) -> None:
-        if self._worker_error is not None:
-            exc, self._worker_error = self._worker_error, None
-            raise RuntimeError(
-                "scoring worker failed; the batch was dropped"
-            ) from exc
-
-    def _harvest(self, block: bool) -> None:
-        """Collect finished device batches and route each clip's score to
-        the engine that produced it (``clip.owner``); with ``block=False``
-        only batches whose results are already materialized are taken (plus
-        forced takes when the pipeline depth exceeds 2, to bound memory).
-        Callers read their own results from :meth:`_take_ready`."""
-        self._raise_worker_error()
-        if not self._harvest_lock.acquire(blocking=block):
-            # another stream's thread is already harvesting; its pass will
-            # route our results too
-            return
-        try:
-            self._harvest_locked(block)
-        finally:
-            self._harvest_lock.release()
-
-    def _harvest_until(self, target_seq: int) -> None:
-        """Blocking harvest of every batch dispatched before ``target_seq``
-        (exclusive). Unlike a queue join, this cannot be extended by peers
-        dispatching new work while we wait. The target check happens under
-        ``_harvest_lock``: the cursor only advances after a batch's scores
-        are fully routed, so once the target is observed every score up to
-        it has landed in its owner's _ready/track_clip_scores."""
-        import time
-
-        while True:
-            with self._harvest_lock:
-                self._harvest_locked(block=True, until_seq=target_seq)
-                done = self._next_harvest_seq >= target_seq
-            if done:
-                return
-            time.sleep(0.002)   # head batch is still packing on a worker
-
-    def _harvest_locked(self, block: bool, until_seq: Optional[int] = None) -> None:
-        import time
-
-        while True:
-            if until_seq is not None and self._next_harvest_seq >= until_seq:
-                # a flushing stream's snapshotted target: batches peers
-                # dispatched AFTER the snapshot are not its problem — without
-                # this bound, a flush under sustained peer dispatch blocks on
-                # batch after batch while holding _harvest_lock
-                break
-            with self._lock:
-                entries = sorted(self.inflight, key=lambda e: e[0])
-            if not entries:
-                break
-            # strict FIFO: only ever take the oldest in-flight batch, so
-            # score order == dispatch order regardless of which upload lane
-            # finishes first. When the pipeline is deeper than 2 batches the
-            # head is force-taken (blocking) to bound device memory.
-            entry = entries[0]
-            seq, batch, dev, t0 = entry
-            if seq != self._next_harvest_seq:
-                # the true head batch is still being packed on a worker
-                break
-            if dev is None:           # failed batch (worker exception) — the
-                with self._lock:      # error already surfaced above; advance
-                    self.inflight.remove(entry)
-                self._next_harvest_seq += 1
-                continue
-            # a routed mixed batch carries a list of (indices, dev) sub-
-            # batches (per-clip Pallas/gather routing); normalize to a list
-            parts = dev if isinstance(dev, list) else [(range(len(batch)), dev)]
-            if not block and len(entries) <= 2:
-                try:
-                    if not all(bool(d.is_ready()) for _, d in parts):
-                        break
-                except AttributeError:
-                    pass
-            try:
-                probs = np.zeros((len(batch),), np.float32)
-                for idx, d in parts:
-                    sub = np.asarray(d)
-                    for k, bi in enumerate(idx):
-                        probs[bi] = sub[k]
-            except Exception as exc:
-                # a device-side failure must not wedge the FIFO: drop the
-                # batch, advance the cursor, and surface the error to the
-                # streams that owned the batch's clips (raised at their next
-                # step()/flush()), not to whoever happens to harvest
-                with self._lock:
-                    if entry in self.inflight:
-                        self.inflight.remove(entry)
-                for owner in {c.owner or self for c in batch} or {self}:
-                    owner._worker_error = exc
-                self._next_harvest_seq += 1
-                continue
-            now = time.perf_counter()
-            with self._lock:
-                try:
-                    self.inflight.remove(entry)
-                except ValueError:
-                    continue
-            for bi, clip in enumerate(batch):
-                # per-clip enqueue→scored latency, the reference's
-                # clip_enqueue_t/clip_infer_t accounting (TEST2.py:316,440)
-                self.clip_latencies.append(now - (clip.t_enq or t0))
-                owner = clip.owner or self
-                if owner._gen != clip.owner_gen:
-                    continue  # owner's stream was reset; stale score
-                p = float(probs[bi])
-                owner.track_clip_scores[clip.tid].append(p)
-                owner.hysteresis.update(clip.tid, p)
-                with owner._ready_lock:
-                    owner._ready.append((clip.tid, p))
-            # advance the cursor only AFTER routing: _harvest_until's target
-            # check (under _harvest_lock) must imply the scores have landed
-            self._next_harvest_seq += 1
 
 def _iou_one_to_many(box: np.ndarray, boxes: np.ndarray) -> np.ndarray:
     x1 = np.maximum(box[0], boxes[:, 0])

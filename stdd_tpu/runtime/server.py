@@ -15,7 +15,7 @@ concurrent calls onto one :class:`~stdd_tpu.runtime.classifier.ClipScorer`:
   latency via ``max_batch_wait_frames``).
 - **Per-stream isolation** — results route back to the producing stream;
   ending or resetting one stream never drops a peer's in-flight scores
-  (owner-generation check in ``StreamingEngine._harvest``).
+  (owner-generation check in ``DispatchGroup._harvest_locked``).
 
 Typical use::
 
@@ -115,6 +115,14 @@ class MultiStreamServer:
 
     def engine(self, stream_id: int) -> StreamingEngine:
         return self.streams[stream_id]
+
+    def close(self) -> None:
+        """Shut down every stream and the shared dispatch group's background
+        threads (ring uploader). The server must not be stepped after."""
+        for eng in self.streams.values():
+            eng.close()
+        self.streams.clear()
+        self._root.close()
 
     @property
     def clip_latencies(self) -> List[float]:

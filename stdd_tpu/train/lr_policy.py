@@ -28,6 +28,18 @@ def steps_with_relative_lrs(
     carries a LEADING ZERO (the convention multigrid.lr_boundaries emits,
     with len(lrs) == len(steps)) and the LR for the first epoch with
     ``cur_epoch < steps[ind]`` is ``lrs[ind - 1]``."""
+    if len(lrs) != len(steps):
+        raise ValueError(
+            f"steps_with_relative_lrs: len(lrs)={len(lrs)} must equal "
+            f"len(steps)={len(steps)} (reference lr_policy.py:60 convention)")
+    if not steps or steps[0] != 0:
+        # without the leading zero, an epoch below steps[0] would hit
+        # lrs[-1] via Python negative indexing — a silently wrong LR
+        # (ADVICE r2 #1); fail loudly instead
+        raise ValueError(
+            f"steps_with_relative_lrs: steps must carry a leading 0 "
+            f"(got {list(steps)!r}); reference configs always do "
+            f"(multigrid.lr_boundaries emits it)")
     bounds = list(steps) + [max_epoch]
 
     def fn(cur_epoch: float) -> float:
