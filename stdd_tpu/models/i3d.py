@@ -29,6 +29,7 @@ from typing import Any, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import I3DConfig
 
@@ -637,8 +638,12 @@ class I3D(nn.Module):
 # Convenience: normalization + scoring wrappers (reference demo.py:84-87,
 # TEST2.py:147-149 — identical ImageNet constants in three places).
 
-IMAGENET_MEAN = jnp.array([0.485 * 255, 0.456 * 255, 0.406 * 255], dtype=jnp.float32)
-IMAGENET_STD = jnp.array([0.229 * 255, 0.224 * 255, 0.225 * 255], dtype=jnp.float32)
+# numpy on purpose: a module-scope jnp.array initializes the backend at
+# IMPORT time — through the axon relay a dead backend blocks ~18 min, which
+# hung even `--help` on every CLI that transitively imports this module
+# (observed during the 2026-08-18 outage). jnp ops consume numpy directly.
+IMAGENET_MEAN = np.array([0.485 * 255, 0.456 * 255, 0.406 * 255], dtype=np.float32)
+IMAGENET_STD = np.array([0.229 * 255, 0.224 * 255, 0.225 * 255], dtype=np.float32)
 
 
 def normalize_clip(x_uint8):
