@@ -349,11 +349,24 @@ def render_one(rigid: jnp.ndarray, theta: jnp.ndarray, style: jnp.ndarray,
     return jnp.clip(img, 0.0, 1.0)
 
 
-def sample_params(key, batch: int):
-    """Random (rigid, theta, style) batches for training."""
+# Held-out style families (round-2 VERDICT #3a): two parameter bands the
+# trainer EXCLUDES (``sample_params(exclude_holdout=True)``) so off-domain
+# generalization within the procedural family is measurable — strong positive
+# head roll and strong lighting slope were picked because both globally
+# change every pixel, not just a local region.
+HOLDOUT_ROT = (0.34, 0.50)       # rigid[1]: in-plane roll (radians)
+HOLDOUT_LIGHT = (0.70, 1.00)     # style[6]: horizontal lighting slope
+
+
+def sample_params(key, batch: int, exclude_holdout: bool = False):
+    """Random (rigid, theta, style) batches for training.
+
+    ``exclude_holdout=True`` draws rot/lighting strictly BELOW the held-out
+    bands; pair with :func:`sample_holdout_params` for the off-domain eval."""
     k1, k2, k3, k4 = jax.random.split(key, 4)
     ls = jax.random.uniform(k1, (batch, 1), minval=-0.45, maxval=0.25)
-    rot = jax.random.uniform(k2, (batch, 1), minval=-0.5, maxval=0.5)
+    rot_hi = HOLDOUT_ROT[0] if exclude_holdout else 0.5
+    rot = jax.random.uniform(k2, (batch, 1), minval=-0.5, maxval=rot_hi)
     txy = jax.random.uniform(k3, (batch, 2), minval=-0.10, maxval=0.10)
     rigid = jnp.concatenate([ls, rot, txy], axis=1)
     km = jax.random.split(k4, 3)
@@ -364,7 +377,65 @@ def sample_params(key, batch: int):
         [blink, brows, mo_sm[:, :1], mo_sm[:, 1:] * 2.0 - 1.0], axis=1)
     style = jax.random.uniform(
         jax.random.fold_in(key, 7), (batch, 8), minval=-1.0, maxval=1.0)
+    if exclude_holdout:
+        light = jax.random.uniform(
+            jax.random.fold_in(key, 8), (batch,), minval=-1.0,
+            maxval=HOLDOUT_LIGHT[0])
+        style = style.at[:, 6].set(light)
     return rigid, theta, style
+
+
+def sample_holdout_params(key, batch: int):
+    """Parameter batches INSIDE the held-out bands (roll and lighting both
+    out-of-train-domain) — the generalization eval set."""
+    rigid, theta, style = sample_params(key, batch)
+    kr, kl = jax.random.split(jax.random.fold_in(key, 99))
+    rot = jax.random.uniform(kr, (batch, 1), minval=HOLDOUT_ROT[0],
+                             maxval=HOLDOUT_ROT[1])
+    light = jax.random.uniform(kl, (batch,), minval=HOLDOUT_LIGHT[0],
+                               maxval=HOLDOUT_LIGHT[1])
+    return (rigid.at[:, 1:2].set(rot), theta, style.at[:, 6].set(light))
+
+
+def augment_renders(key, imgs: jnp.ndarray) -> jnp.ndarray:
+    """Domain randomization beyond the base renderer (round-2 VERDICT #3c):
+    directional lighting gradient, background clutter patches, partial
+    occlusion, and pixel noise — all label-preserving (landmark ground truth
+    is untouched) and fully vectorized on device.
+
+    The occluder/clutter rectangles may cover parts of the face, forcing the
+    net to localize from the visible structure instead of memorizing the
+    clean render — the property a MediaPipe-grade landmarker needs on real
+    calls (hands, mics, glasses; ref capability af_realtime.py:175)."""
+    B, S = imgs.shape[0], imgs.shape[1]
+    ii = (jnp.arange(S, dtype=jnp.float32) + 0.5) / S
+    yy, xx = jnp.meshgrid(ii, ii, indexing="ij")
+    ks = jax.random.split(key, 8)
+
+    # directional lighting gradient (beyond the renderer's own slope)
+    ang = jax.random.uniform(ks[0], (B, 1, 1), minval=0.0, maxval=2 * jnp.pi)
+    g = jax.random.uniform(ks[1], (B, 1, 1), minval=0.0, maxval=0.5)
+    grad = 1.0 + g * 2.0 * (jnp.cos(ang) * (xx - 0.5) + jnp.sin(ang) * (yy - 0.5))
+    imgs = imgs * grad[..., None]
+
+    # clutter/occluder rectangles: 2 per image, random size/color/alpha;
+    # each drawn with probability 1/2
+    for j in (2, 3):
+        kc = jax.random.split(ks[j], 6)
+        cx = jax.random.uniform(kc[0], (B, 1, 1))
+        cy = jax.random.uniform(kc[1], (B, 1, 1))
+        hw = jax.random.uniform(kc[2], (B, 1, 1), minval=0.03, maxval=0.14)
+        hh = jax.random.uniform(kc[3], (B, 1, 1), minval=0.03, maxval=0.14)
+        col = jax.random.uniform(kc[4], (B, 1, 1, 3))
+        on = (jax.random.uniform(kc[5], (B, 1, 1)) < 0.5).astype(jnp.float32)
+        inside = ((jnp.abs(xx - cx) < hw) & (jnp.abs(yy - cy) < hh)
+                  ).astype(jnp.float32) * on
+        alpha = inside[..., None] * 0.85
+        imgs = imgs * (1 - alpha) + alpha * col
+
+    # pixel noise (the base renderer's key= path adds 0.03; slightly wider)
+    imgs = imgs + 0.04 * jax.random.normal(ks[4], imgs.shape)
+    return jnp.clip(imgs, 0.0, 1.0)
 
 
 def render_faces(rigid, theta, style, key=None, size: int = 128) -> jnp.ndarray:

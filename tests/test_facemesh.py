@@ -183,6 +183,140 @@ def test_pretrained_checkpoint_accuracy():
     assert e1 < e0 * 0.25, (e0, e1)
 
 
+def test_pretrained_checkpoint_holdout_bands():
+    """Off-domain eval (round-2 VERDICT #3a): renders drawn ENTIRELY from
+    the held-out bands (HOLDOUT_ROT roll + HOLDOUT_LIGHT lighting — excluded
+    from training by train_landmarker's default sample_params(
+    exclude_holdout=True)) must still be localized far better than random
+    init. This is the measured generalization bound PARITY.md §2.1 cites."""
+    from stdd_tpu.models.facemesh import sample_holdout_params
+    from stdd_tpu.train.train_landmarker import _key_indices
+
+    rigid, theta, style = sample_holdout_params(jax.random.PRNGKey(5), 16)
+    from stdd_tpu.models.facemesh import HOLDOUT_LIGHT, HOLDOUT_ROT
+
+    assert (np.asarray(rigid)[:, 1] >= HOLDOUT_ROT[0]).all()
+    assert (np.asarray(style)[:, 6] >= HOLDOUT_LIGHT[0]).all()
+    imgs = render_faces(rigid, theta, style)
+    canon = jnp.asarray(CANON)
+    gt = np.asarray(reconstruct(canon, rigid, theta))[:, _key_indices()]
+
+    def err(lm):
+        pr, _ = lm._fwd(lm.variables, imgs)
+        return float(np.abs(np.asarray(pr)[:, _key_indices()] - gt).mean())
+
+    e0 = err(DenseLandmarker(seed=0))
+    e1 = err(DenseLandmarker.pretrained())
+    # crop-normalized units; looser than the in-domain 0.01 bound — this is
+    # the off-domain band (≈2.5 px at the 128-crop if 0.02)
+    assert e1 < 0.02, (e0, e1)
+    assert e1 < e0 * 0.5, (e0, e1)
+
+
+def test_augment_renders_label_preserving_and_varied():
+    """Domain randomization must change pixels (clutter/lighting/occlusion)
+    while the landmark ground truth — a pure function of the parameters —
+    is untouched by construction; the augmented images must stay in [0,1]."""
+    from stdd_tpu.models.facemesh import augment_renders
+
+    rigid, theta, style = sample_params(jax.random.PRNGKey(0), 8)
+    base = render_faces(rigid, theta, style)
+    aug = np.asarray(augment_renders(jax.random.PRNGKey(1), base))
+    assert aug.shape == base.shape
+    assert aug.min() >= 0.0 and aug.max() <= 1.0
+    diff = np.abs(aug - np.asarray(base)).mean(axis=(1, 2, 3))
+    assert (diff > 0.01).all()          # every image actually randomized
+    aug2 = np.asarray(augment_renders(jax.random.PRNGKey(2), base))
+    assert np.abs(aug2 - aug).mean() > 0.005   # draws differ per key
+
+
+def test_landmarker_translation_equivariance_any_pixels():
+    """Architecture-level equivariance (round-2 VERDICT #3b), exact case:
+    for ARBITRARY pixels — random noise, nothing the training renderer could
+    produce — an INTEGER translation of frame+box leaves the extracted crop
+    pixel-identical, so the landmarks must translate exactly (the crop
+    normalization cancels the shift; tolerance is resize rounding only)."""
+    import cv2
+
+    lm = DenseLandmarker.pretrained()
+    rng = np.random.RandomState(3)
+    frame = cv2.GaussianBlur(
+        rng.randint(0, 255, (240, 320, 3), np.uint8), (0, 0), 2)
+    box = (90.0, 60.0, 210.0, 180.0)
+    pts = lm(frame, box)
+
+    tx, ty = 23, 11
+    shifted = np.zeros((240 + ty, 320 + tx, 3), np.uint8)
+    shifted[ty:, tx:] = frame
+    pts_t = lm(shifted, (box[0] + tx, box[1] + ty, box[2] + tx, box[3] + ty))
+    err = np.abs(pts_t - (pts + np.asarray([tx, ty], np.float32)))
+    assert err.max() < 1.0, err.max()
+
+
+def test_landmarker_scale_equivariance_structured_pixels():
+    """Scale case of the same property on STRUCTURED (but non-renderer)
+    pixels — shapes drawn with cv2, not a face. Under a 1.5x upscale the
+    two 128-crops see the same underlying signal through different
+    resampling chains, so the mesh must move with the similarity within a
+    few px of the (larger) warped frame. Blurred pure noise is excluded on
+    purpose: it has no scale-invariant structure, so resampling changes the
+    texture itself and a few-px bound is unattainable for ANY landmarker."""
+    import cv2
+
+    lm = DenseLandmarker.pretrained()
+    frame = np.full((240, 320, 3), 90, np.uint8)
+    cv2.circle(frame, (150, 120), 45, (200, 170, 150), -1)
+    cv2.circle(frame, (130, 105), 8, (40, 40, 40), -1)
+    cv2.circle(frame, (170, 105), 8, (40, 40, 40), -1)
+    cv2.ellipse(frame, (150, 140), (18, 7), 0, 0, 360, (120, 60, 60), -1)
+    cv2.rectangle(frame, (40, 30), (90, 200), (60, 120, 180), -1)
+    cv2.line(frame, (0, 220), (320, 200), (230, 230, 230), 5)
+    frame = cv2.GaussianBlur(frame, (0, 0), 1.0)
+    box = (95.0, 65.0, 205.0, 175.0)
+    pts = lm(frame, box)
+
+    s, tx, ty = 1.5, 17.0, 9.0
+    M = np.float32([[s, 0, tx], [0, s, ty]])
+    warped = cv2.warpAffine(frame, M, (int(320 * s + tx) + 1,
+                                       int(240 * s + ty) + 1),
+                            flags=cv2.INTER_LINEAR)
+    box_w = (box[0] * s + tx, box[1] * s + ty, box[2] * s + tx, box[3] * s + ty)
+    pts_w = lm(warped, box_w)
+    want = pts * s + np.asarray([tx, ty], np.float32)
+    err = np.abs(pts_w - want)
+    assert np.median(err) < 4.0 and err.mean() < 5.0, (np.median(err), err.mean())
+
+
+def test_landmarker_rotation_equivariance_on_faces():
+    """In-plane rotation within the trained roll range: landmarks of the
+    rotated face frame must equal the rotated landmarks within a few px —
+    this requires the net to actually READ the roll from pixels (pure crop
+    normalization cannot supply it)."""
+    import cv2
+
+    lm = DenseLandmarker.pretrained()
+    img = np.asarray(render_faces(
+        jnp.zeros((1, 4)), _theta(mouth_open=0.4)[None], jnp.zeros((1, 8))))[0]
+    frame = np.full((240, 320, 3), 110, np.uint8)
+    frame[40:200, 80:240] = cv2.resize((img * 255).astype(np.uint8), (160, 160))
+    box = (92.0, 52.0, 228.0, 188.0)
+    pts = lm(frame, box)
+
+    ang = 10.0                                    # degrees, well in-domain
+    C = (160.0, 120.0)
+    M = cv2.getRotationMatrix2D(C, -ang, 1.0)     # image rotated by +ang
+    rot = cv2.warpAffine(frame, M, (320, 240), borderValue=(110, 110, 110))
+    want = pts @ M[:, :2].T + M[:, 2]
+    # box: rotate corners, take the bounding box
+    corners = np.array([[box[0], box[1]], [box[2], box[1]],
+                        [box[2], box[3]], [box[0], box[3]]], np.float32)
+    rc = corners @ M[:, :2].T + M[:, 2]
+    box_r = (rc[:, 0].min(), rc[:, 1].min(), rc[:, 0].max(), rc[:, 1].max())
+    pts_r = lm(rot, box_r)
+    err = np.linalg.norm(pts_r - want, axis=1)
+    assert np.median(err) < 5.0, np.median(err)
+
+
 def test_dense_landmarker_tracks_mouth_dynamics():
     """Full-stack, no fakes: procedurally rendered talking face → the REAL
     YuNet detector → DenseLandmarker (shipped checkpoint) → dense points.
