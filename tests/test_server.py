@@ -293,3 +293,38 @@ def test_concurrent_threaded_streams_ring_mode():
         assert set(per) == set(solo)
         for tid in solo:
             np.testing.assert_allclose(per[tid], solo[tid], atol=1e-5)
+
+
+def test_close_releases_uploader_and_rings():
+    """engine/server close() must stop the shared ring uploader thread and
+    release per-ring bookkeeping (ADVICE r2 #3: uploader daemons used to
+    outlive their engines in per-video loops); close is idempotent and a
+    closed secondary never disturbs the group's peers."""
+    import time
+
+    scorer = ClipScorer.random_init(cfg=SMALL_CFG, dtype=jnp.float32)
+    eng = StreamingEngine(
+        scorer, make_fake_detector(1), cfg=PIPE, device_resident=True,
+        **ENG_KW,
+    )
+    for _ in range(12):
+        eng.step(_frame())
+    eng.flush()
+    assert eng.rings
+    up = eng._group.ring_uploader()
+    thread = up._thread
+    assert thread.is_alive()
+    eng.close()
+    assert not eng.rings                     # rings released
+    thread.join(timeout=5.0)
+    assert not thread.is_alive()             # uploader worker exited
+    eng.close()                              # idempotent
+
+    server = MultiStreamServer(scorer, cfg=PIPE, device_resident=True,
+                               **ENG_KW)
+    a = server.add_stream(make_fake_detector(1))
+    for _ in range(10):
+        server.step(a, _frame())
+    server.flush(a)
+    server.close()
+    assert not server.streams
