@@ -46,6 +46,11 @@ class I3DConfig:
     s2d_stem: bool = False        # space-to-depth stem (same math, MXU-friendly; see models/i3d.py Conv3dBN)
     stem_t2: bool = False         # eval-only packed stem: s2d + temporal-pair packing + folded BN (models/i3d.py stem_forward_t2)
     fused_s2: bool = False        # eval-only fused s2 bottlenecks (Pallas, folded BN; ops/bottleneck_pallas.py)
+    # eval-only int8 dynamic-quant convs for the named wide stages, e.g.
+    # ("s3","s4","s5") — s8xs8→s32 on the MXU at 2x the bf16 rate; s2's
+    # 64-wide convs were measured slower (PERF.md "Dead ends"). Off by
+    # default: opt-in serving knob, scores shift by quantization error.
+    int8_stages: Tuple[str, ...] = ()
     stop_point: int = 5           # FTCN truncation: removes s_k..s5 (5 = keep s2..s4, the shipped ftcn_tt.yaml; 6 = keep all)
 
 

@@ -94,10 +94,35 @@ class Conv3dBN(nn.Module):
     padding: Optional[Sequence[Tuple[int, int]]] = None  # None = SAME-like from kernel
     zero_init_scale: bool = False
     s2d: bool = False
+    int8: bool = False
     bn_eps: float = 1e-5
     bn_momentum: float = 0.1
     axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
+
+    def _int8_conv(self, x):
+        """Eval-only dynamic-quant conv: s8×s8→s32 runs the MXU at twice the
+        bf16 rate, worthwhile for the ≥256-wide stages (s3-s5; the 64-wide s2
+        was measured SLOWER — PERF.md "Dead ends"). Weights: per-out-channel
+        symmetric int8; activations: per-tensor dynamic symmetric int8 (one
+        cheap max-reduction per tensor). Params stay float32 at nn.Conv's
+        tree path, so checkpoints are interchangeable with the float path."""
+        pad = self.padding
+        if pad is None:
+            pad = [(k // 2, k // 2) for k in self.kernel]
+        w = _RawKernel(self.kernel + (x.shape[-1], self.features),
+                       name="conv")()
+        sw = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2, 3)), 1e-8) / 127.0
+        wq = jnp.round(w / sw).astype(jnp.int8)          # |w/sw| ≤ 127
+        sx = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32), 1e-8) / 127.0
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
+                      -127, 127).astype(jnp.int8)
+        acc = jax.lax.conv_general_dilated(
+            xq, wq, window_strides=self.stride, padding=list(pad),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        return acc.astype(jnp.float32) * (sx * sw)
 
     def _s2d_conv(self, x):
         t = self.kernel[0]
@@ -122,6 +147,8 @@ class Conv3dBN(nn.Module):
     def __call__(self, x, train: bool = False):
         if self.s2d:
             return self._bn(self._s2d_conv(x), train)
+        if self.int8 and not train:
+            return self._bn(self._int8_conv(x), train)
         pad = self.padding
         if pad is None:
             pad = [(k // 2, k // 2) for k in self.kernel]
@@ -341,6 +368,7 @@ class Bottleneck(nn.Module):
     axis_name: Optional[str]
     dtype: Dtype
     spatial_1x1: bool = False
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -354,6 +382,7 @@ class Bottleneck(nn.Module):
             bn_momentum=self.bn_momentum,
             axis_name=self.axis_name,
             dtype=self.dtype,
+            int8=self.int8,
             name="a",
         )(x, train)
         x = nn.relu(x)
@@ -367,6 +396,7 @@ class Bottleneck(nn.Module):
             bn_momentum=self.bn_momentum,
             axis_name=self.axis_name,
             dtype=self.dtype,
+            int8=self.int8,
             name="b",
         )(x, train)
         x = nn.relu(x)
@@ -380,6 +410,7 @@ class Bottleneck(nn.Module):
             bn_momentum=self.bn_momentum,
             axis_name=self.axis_name,
             dtype=self.dtype,
+            int8=self.int8,
             name="c",
         )(x, train)
         return x
@@ -401,6 +432,7 @@ class ResBlock(nn.Module):
     dtype: Dtype
     spatial_1x1: bool = False
     fused_eval: bool = False
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -420,6 +452,7 @@ class ResBlock(nn.Module):
             axis_name=self.axis_name,
             dtype=self.dtype,
             spatial_1x1=self.spatial_1x1,
+            int8=self.int8,
             name="branch2",
         )(x, train)
         if self.dim_in != self.dim_out or self.stride != 1:
@@ -432,6 +465,7 @@ class ResBlock(nn.Module):
                 bn_momentum=self.bn_momentum,
                 axis_name=self.axis_name,
                 dtype=self.dtype,
+                int8=self.int8,
                 name="shortcut",
             )(x, train)
         else:
@@ -495,6 +529,7 @@ class ResStage(nn.Module):
     dtype: Dtype
     spatial_1x1: bool = False
     fused_eval: bool = False
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -513,6 +548,7 @@ class ResStage(nn.Module):
                 dtype=self.dtype,
                 spatial_1x1=self.spatial_1x1,
                 fused_eval=self.fused_eval,
+                int8=self.int8,
                 name=f"pathway0_res{i}",
             )(x, train)
         return x
@@ -609,6 +645,9 @@ class I3D(nn.Module):
                 # eval-only fused s2 bottlenecks (ops/bottleneck_pallas.py):
                 # the HBM-bandwidth-bound stage at production shapes
                 fused_eval=(si == 0 and c.fused_s2),
+                # int8 dynamic-quant eval path for the wide stages (s3-s5;
+                # s2's 64-wide convs measured slower — PERF.md "Dead ends")
+                int8=(name in c.int8_stages),
                 name=name,
                 **bn,
             )(x, train)
