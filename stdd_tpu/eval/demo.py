@@ -223,13 +223,16 @@ def main(argv=None):
     ap.add_argument("--upload_format", default="rgb", choices=["rgb", "yuv420"],
                     help="crop upload format; yuv420 halves host->device bytes "
                          "(bandwidth-constrained links; frames are codec-4:2:0 anyway)")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 dynamic-quant convs for the wide I3D stages "
+                         "(s3-s5); scores shift by the quantization error")
     args = ap.parse_args(argv)
 
     from .harness import collect_videos, iter_video_frames, summarize, write_csvs
     from ..models.yunet import YuNetTPU
     from ..runtime.classifier import ClipScorer
 
-    kw = dict(upload_format=args.upload_format)
+    kw = dict(upload_format=args.upload_format, int8=args.int8)
     scorer = (
         ClipScorer.from_torch_checkpoint(args.ckpt, **kw) if args.ckpt
         else ClipScorer.random_init(**kw)

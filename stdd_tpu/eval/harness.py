@@ -285,7 +285,8 @@ def build_engine(args):
         min_face_side=args.min_det_side,
         crop_scale=args.crop_scale,
     )
-    kw = dict(upload_format=getattr(args, "upload_format", "rgb"))
+    kw = dict(upload_format=getattr(args, "upload_format", "rgb"),
+              int8=getattr(args, "int8", False))
     if args.ckpt:
         scorer = ClipScorer.from_torch_checkpoint(args.ckpt, **kw)
     else:
@@ -339,6 +340,9 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--upload_format", default="rgb", choices=["rgb", "yuv420"],
                     help="crop upload format; yuv420 halves host->device bytes")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 dynamic-quant convs for the wide I3D stages "
+                         "(s3-s5); scores shift by the quantization error")
     ap.add_argument("--no_warmup", dest="warmup", action="store_false",
                     help="skip the startup pre-compile of scorer batch shapes")
     args = ap.parse_args(argv)

@@ -187,6 +187,9 @@ def main(argv=None):
     ap.add_argument("--out_video", default=None)
     ap.add_argument("--upload_format", default="rgb", choices=["rgb", "yuv420"],
                     help="crop upload format; yuv420 halves host->device bytes")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 dynamic-quant convs for the wide I3D stages "
+                         "(s3-s5); scores shift by the quantization error")
     ap.add_argument("--no_warmup", dest="warmup", action="store_false",
                     help="skip the startup pre-compile of scorer batch shapes")
     ap.add_argument("--max_batch_wait", type=int, default=None,
@@ -199,7 +202,7 @@ def main(argv=None):
     from .classifier import ClipScorer
     from . import sources
 
-    kw = dict(upload_format=args.upload_format)
+    kw = dict(upload_format=args.upload_format, int8=args.int8)
     scorer = (
         ClipScorer.from_torch_checkpoint(args.ckpt, **kw) if args.ckpt
         else ClipScorer.random_init(**kw)

@@ -114,6 +114,7 @@ class ClipScorer:
         round_aligned_u8: bool = False,
         s2d_stem: Optional[bool] = None,
         upload_format: str = "rgb",
+        int8: bool = False,
     ):
         self.cfg = cfg or I3DConfig()
         on_accel = jax.devices()[0].platform not in ("cpu",)
@@ -138,6 +139,13 @@ class ClipScorer:
         # ~1.5x the s2d stem on TPU); the scorer always runs train=False
         if self.cfg.s2d_stem and not self.cfg.stem_t2 and self.cfg.num_frames % 2 == 0:
             self.cfg = dataclasses.replace(self.cfg, stem_t2=True)
+        # int8 dynamic-quant convs for the wide stages (eval-only serving
+        # knob; s8×s8→s32 runs the MXU at 2× the bf16 rate). Only s3-s5 —
+        # the 64-wide s2 convs measured SLOWER in int8 (PERF.md "Dead ends").
+        # Scores shift by the quantization error; opt-in per CLI --int8.
+        if int8 and not self.cfg.int8_stages:
+            self.cfg = dataclasses.replace(
+                self.cfg, int8_stages=("s3", "s4", "s5"))
         # "yuv420": score() takes planar I420 crops [B,T,S*3//2,S] (packed by
         # pack_clip_batch(yuv420=True)) — half the host→device bytes, which
         # is the streaming bottleneck on bandwidth-constrained links. The

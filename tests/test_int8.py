@@ -93,3 +93,29 @@ def test_i3d_int8_stages_wiring_and_accuracy():
     lt8, _ = m8.apply(v, x, train=True, mutable=["batch_stats"],
                       rngs={"dropout": jax.random.PRNGKey(1)})
     np.testing.assert_array_equal(np.asarray(lt), np.asarray(lt8))
+
+
+def test_clip_scorer_int8_knob():
+    """The serving CLIs' --int8 flag (ClipScorer(int8=True)) must enable the
+    measured-beneficial stages only (s3-s5) and still produce valid scores."""
+    from stdd_tpu.runtime.classifier import ClipScorer
+
+    cfg = I3DConfig(num_frames=4, crop_size=32)
+    scorer = ClipScorer.random_init(cfg=cfg, dtype=jnp.float32, int8=True)
+    assert scorer.cfg.int8_stages == ("s3", "s4", "s5")
+
+    rng = np.random.RandomState(0)
+    crops = jnp.asarray(rng.randint(0, 255, (1, 4, 48, 48, 3), np.uint8))
+    boxes = jnp.tile(jnp.asarray([[4.0, 4.0, 44.0, 44.0]], jnp.float32),
+                     (1, 4, 1))[None][0].reshape(1, 4, 4)
+    lm5 = jnp.tile(jnp.asarray(
+        [[14, 18], [30, 18], [22, 26], [16, 34], [29, 34]], jnp.float32),
+        (1, 4, 1, 1))
+    valid = jnp.ones((1,), bool)
+    p = np.asarray(scorer.score(crops, boxes, lm5, valid))
+    assert np.isfinite(p).all() and (p > 0).all() and (p < 1).all()
+
+    # an explicit cfg with int8_stages set is left untouched
+    pre = I3DConfig(num_frames=4, crop_size=32, int8_stages=("s4",))
+    s2 = ClipScorer.random_init(cfg=pre, dtype=jnp.float32, int8=True)
+    assert s2.cfg.int8_stages == ("s4",)
