@@ -118,6 +118,18 @@ class BenchScene:
         self.lo = np.array([m, m], np.float64)
         self.hi = np.array([W - face_px - m, H - face_px - m], np.float64)
 
+        # --- reusable canvas pool: frame() restores the previous sprites'
+        # rects from the background and pastes the new ones, instead of
+        # memcpy-ing the whole 6 MB frame (1.5 ms/frame on the 1-core host —
+        # ~16% of the whole frame budget at 108 fps). A returned frame stays
+        # valid for the next _N_CANVAS-1 frame() calls; the engine's only
+        # deferred reader is the AsyncDetector thread, whose read completes
+        # before the next detect-cadence await (≤ detect_every < _N_CANVAS).
+        self._N_CANVAS = 8
+        self._canvases: list = []
+        self._dirty: list = []   # per-canvas [(y, x)] of stale sprite pastes
+        self._call_no = 0
+
     def _positions(self, i: int) -> np.ndarray:
         # reflective (triangle-wave) bounce — deterministic in i, no state.
         # A degenerate axis (face fills the frame dimension: hi <= lo) pins
@@ -128,12 +140,47 @@ class BenchScene:
         tri = np.abs((raw / np.where(ok, span, 1.0)) % 2.0 - 1.0)
         return np.where(ok, self.lo + (1.0 - tri) * span, self.lo)
 
-    def frame(self, i: int) -> np.ndarray:
-        out = self.bg.copy()
+    def frame(self, i: int, copy: bool = False) -> np.ndarray:
+        """BGR frame for index ``i`` (content deterministic in ``i``).
+
+        The returned buffer is reused after ``_N_CANVAS - 1`` further calls;
+        pass ``copy=True`` for an independent array."""
+        px = self.face_px
+        pos = self._positions(i).astype(int)
+        if len(self._canvases) < self._N_CANVAS:
+            self._canvases.append(self.bg.copy())
+            self._dirty.append([])
+            out = self._canvases[-1]
+            dirty = self._dirty[-1]
+        else:
+            c = self._call_no % self._N_CANVAS
+            out, dirty = self._canvases[c], self._dirty[c]
+            # restore each stale sprite rect from the background, MINUS the
+            # same face's incoming paste rect (which overwrites it anyway) —
+            # faces drift ≤ vel·_N_CANVAS px between reuses, so only a thin
+            # L-shaped sliver actually needs the memcpy
+            for (f, y, x) in dirty:
+                nx, ny = int(pos[f, 0]), int(pos[f, 1])
+                iy0, iy1 = max(y, ny), min(y + px, ny + px)
+                ix0, ix1 = max(x, nx), min(x + px, nx + px)
+                if iy0 >= iy1 or ix0 >= ix1:          # no overlap: full rect
+                    out[y:y + px, x:x + px] = self.bg[y:y + px, x:x + px]
+                    continue
+                if y < iy0:
+                    out[y:iy0, x:x + px] = self.bg[y:iy0, x:x + px]
+                if iy1 < y + px:
+                    out[iy1:y + px, x:x + px] = self.bg[iy1:y + px, x:x + px]
+                if x < ix0:
+                    out[iy0:iy1, x:ix0] = self.bg[iy0:iy1, x:ix0]
+                if ix1 < x + px:
+                    out[iy0:iy1, ix1:x + px] = self.bg[iy0:iy1, ix1:x + px]
+            dirty.clear()
+        self._call_no += 1
         k = i % self.loop
-        for f, (x, y) in enumerate(self._positions(i).astype(int)):
-            out[y:y + self.face_px, x:x + self.face_px] = self.sprites[f, k]
-        return out
+        for f, (x, y) in enumerate(pos):
+            out[y:y + px, x:x + px] = self.sprites[f, k]
+            dirty.append((f, int(y), int(x)))
+        return out.copy() if copy else out
 
     def detect(self, det, frame_bgr: np.ndarray) -> np.ndarray:
         from stdd_tpu.models.yunet import detect_scaled
