@@ -49,17 +49,28 @@ def _encode_slot_yuv420(e, rgb_slot: np.ndarray, s: float, out: np.ndarray):
 
 def _pack_entry(e, dst_slot: np.ndarray, s: float) -> Tuple[np.ndarray, np.ndarray]:
     """Write one entry's crop into a zero-padded S×S slot at uniform scale
-    ``s`` (native C++ area-resize fast path); → (scaled box, scaled lm5)."""
+    ``s``; → (scaled box, scaled lm5).
+
+    cv2.INTER_AREA is the resize (it is the semantic anchor the native C++
+    kernel is parity-tested against, and measured 3-4× FASTER than that
+    kernel on the 1-core bench host: 2.9 ms vs 10.2 ms at 576²→224² — SIMD
+    beats the fused-but-scalar loop; PERF.md "Dead ends"). The native kernel
+    remains the no-cv2 fallback."""
     c = _get(e, "crop")
     if s < 1.0:
-        from ..native import resize_area_pack
+        try:
+            import cv2
+        except ImportError:  # pragma: no cover — cv2 is baked into the image
+            from ..native import resize_area_pack
 
-        if not resize_area_pack(c, dst_slot, s):
-            from .engine import _resize_area
-
-            c2 = _resize_area(c, s)
-            h, w = c2.shape[:2]
-            dst_slot[:h, :w] = c2
+            if not resize_area_pack(c, dst_slot, s):
+                raise
+        else:
+            h, w = c.shape[:2]
+            oh = min(max(1, int(h * s)), dst_slot.shape[0])
+            ow = min(max(1, int(w * s)), dst_slot.shape[1])
+            dst_slot[:oh, :ow] = cv2.resize(
+                c, (ow, oh), interpolation=cv2.INTER_AREA)
     else:
         h, w = c.shape[:2]
         dst_slot[:h, :w] = c
