@@ -176,7 +176,12 @@ def run_loop(
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--source", required=True, help="video path | 'webcam' | 'webcam:N'")
+    ap.add_argument("--source", required=True,
+                    help="video path | 'webcam[:N]' | 'screen' (X11 full "
+                         "screen) | 'screen:TITLE' (largest window whose "
+                         "title contains TITLE, e.g. screen:Teams)")
+    ap.add_argument("--capture_hz", type=float, default=8.0,
+                    help="screen-capture pacing (win_capture.py target_hz)")
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--threshold", type=float, default=0.362)
     ap.add_argument("--clip_size", type=int, default=32)
@@ -243,6 +248,12 @@ def main(argv=None):
     if args.source.startswith("webcam"):
         idx = int(args.source.split(":")[1]) if ":" in args.source else 0
         frames = sources.iter_webcam(idx, args.max_frames)
+    elif args.source == "screen" or args.source.startswith("screen:"):
+        title = args.source.split(":", 1)[1] if ":" in args.source else None
+        frames = sources.iter_screen(
+            window_title=(title,) if title else None,
+            target_hz=args.capture_hz, max_frames=args.max_frames,
+        )
     else:
         frames = sources.iter_video_file(args.source, max_frames=args.max_frames)
 

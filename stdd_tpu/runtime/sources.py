@@ -79,6 +79,24 @@ def iter_synthetic(
         yield frame
 
 
+def iter_screen(
+    display: Optional[str] = None,
+    window_title: Optional[Tuple[str, ...]] = None,
+    region: Optional[Tuple[int, int, int, int]] = None,
+    target_hz: float = 8.0,
+    max_frames: Optional[int] = None,
+) -> FrameIter:
+    """Live X11 screen/window capture (Linux analogue of the reference's
+    ``iter_window_frames``/``iter_teams_frames``, win_capture.py:42,:121).
+    See :mod:`stdd_tpu.runtime.x11_capture`."""
+    from .x11_capture import iter_screen_frames
+
+    return iter_screen_frames(
+        display=display, window_title=window_title, region=region,
+        target_hz=target_hz, max_frames=max_frames,
+    )
+
+
 def throttle(frames: Iterable[np.ndarray], target_hz: float) -> FrameIter:
     """Rate-limit a source to a target frequency (run_loop's pacing,
     app_realtime.py:96)."""
