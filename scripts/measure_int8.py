@@ -21,23 +21,46 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny config on CPU — validates the harness only")
     args = ap.parse_args()
+
+    import sys
+
+    sys.path.insert(0, ".")
+    from bench import tpu_available
+
+    if args.smoke or not tpu_available(120):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")  # sitecustomize pins axon
+        args.smoke = True
 
     from stdd_tpu.runtime.classifier import ClipScorer
 
     rng = np.random.RandomState(0)
     B, T, S = args.batch, 32, 256
+    scorer_kw = {}
+    if args.smoke:
+        import jax.numpy as jnp
+
+        from stdd_tpu.config import I3DConfig
+
+        B, T, S = 2, 8, 64
+        scorer_kw = dict(cfg=I3DConfig(num_frames=T, crop_size=56),
+                         dtype=jnp.float32)
     crops = rng.randint(0, 255, (B, T, S, S, 3), np.uint8)
-    boxes = np.tile(np.array([[16.0, 16.0, 240.0, 240.0]], np.float32), (B, 1))
-    lm5 = np.tile(
-        np.array([[[80, 100], [176, 100], [128, 150], [90, 200], [166, 200]]],
-                 np.float32), (B, 1, 1))
+    box = np.array([S * 0.06, S * 0.06, S * 0.94, S * 0.94], np.float32)
+    boxes = np.tile(box, (B, T, 1))
+    lm5 = np.tile(np.array(
+        [[0.31, 0.39], [0.69, 0.39], [0.50, 0.59], [0.35, 0.78], [0.65, 0.78]],
+        np.float32) * S, (B, T, 1, 1))
     valid = np.ones((B,), bool)
 
     results = {}
     probs = {}
     for name, int8 in (("bf16", False), ("int8_s3s5", True)):
-        scorer = ClipScorer.random_init(seed=0, int8=int8)
+        scorer = ClipScorer.random_init(seed=0, int8=int8, **scorer_kw)
         # warmup: compile + first execution out of the timed region
         p = scorer.score(crops, boxes, lm5, valid)
         probs[name] = np.asarray(p, np.float64)
@@ -56,6 +79,7 @@ def main():
         "int8_ms_per_batch": round(1000 * results["int8_s3s5"], 2),
         "speedup_x": round(results["bf16"] / results["int8_s3s5"], 3),
         "batch": B,
+        "smoke_cpu": bool(args.smoke),
         "max_prob_drift": round(drift, 5),
     }))
 
