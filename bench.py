@@ -301,12 +301,26 @@ def main():
                        JAX_PLATFORMS="cpu",
                        STDD_BENCH_NO_PROBE="1",
                        STDD_BENCH_CPU_REEXEC="1")
-            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                                 env=env, capture_output=True, text=True,
-                                 timeout=3000)
-            sys.stderr.write(out.stderr[-4000:])
-            line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
-            result = json.loads(line)
+            # the one-JSON-line contract survives EVERY child failure mode
+            # (empty stdout, non-JSON tail, timeout): emit an honest error
+            # line rather than dying with a traceback (BENCH_r02 rc=124 was
+            # exactly a silent artifact)
+            try:
+                out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                     env=env, capture_output=True, text=True,
+                                     timeout=3000)
+                sys.stderr.write(out.stderr[-4000:])
+                line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+                result = json.loads(line)
+            except Exception:
+                traceback.print_exc(file=sys.stderr)
+                result = {
+                    "metric": "streaming_fps_error",
+                    "value": 0.0,
+                    "unit": "frames/s (bench failed on both the probed "
+                            "backend and the CPU re-exec; see stderr)",
+                    "vs_baseline": 0.0,
+                }
     print(json.dumps(result))
 
 

@@ -31,6 +31,9 @@ from typing import Any, Deque, List, Optional, Tuple
 
 import numpy as np
 
+# queue sentinel: tells a dispatch lane to exit (DispatchGroup.close)
+_CLOSE = object()
+
 
 @dataclass
 class _PendingClip:
@@ -79,6 +82,10 @@ class DispatchGroup:
         self._state_lock = threading.RLock()
         self._harvest_lock = threading.Lock()  # serializes _harvest
         self._zero_lock = threading.Lock()     # one-time _zero_window build
+        # one-time ring kernels/uploader build: two streams racing their
+        # first _new_ring() must not each start a RingUploader (the loser's
+        # thread would outlive close()) or double-compile the ring kernels
+        self._lazy_lock = threading.Lock()
         self._dispatch_q = queue.Queue()
         # two upload lanes: through the relay a single 50MB H2D takes
         # seconds; two threads overlap consecutive batch uploads
@@ -96,17 +103,21 @@ class DispatchGroup:
         from .ring import RingKernels
 
         if not hasattr(self, "_ring_kernels"):
-            self._ring_kernels = RingKernels(
-                R=self.cfg.clip_size, S=self.crop_buffer,
-                yuv420=upload_format_of(self.scorer) == "yuv420",
-            )
+            with self._lazy_lock:
+                if not hasattr(self, "_ring_kernels"):
+                    self._ring_kernels = RingKernels(
+                        R=self.cfg.clip_size, S=self.crop_buffer,
+                        yuv420=upload_format_of(self.scorer) == "yuv420",
+                    )
         return self._ring_kernels
 
     def ring_uploader(self):
         from .ring import RingUploader
 
         if not hasattr(self, "_ring_uploader"):
-            self._ring_uploader = RingUploader()
+            with self._lazy_lock:
+                if not hasattr(self, "_ring_uploader"):
+                    self._ring_uploader = RingUploader()
         return self._ring_uploader
 
     def _zero_window_dev(self):
@@ -160,14 +171,21 @@ class DispatchGroup:
             self.pending = [c for c in self.pending if c.owner is not engine]
 
     def close(self) -> None:
-        """Shut down group-owned background threads (the ring uploader; the
-        dispatch lanes are daemons parked on an idle queue). Idempotent —
-        call from the owning engine/server when the group is done
-        (ADVICE r2 #3: uploader threads used to outlive their engines)."""
+        """Shut down group-owned background threads: the ring uploader AND
+        the two dispatch lanes (a parked daemon lane pins the whole
+        group→engine→scorer graph alive — per-video engine loops would leak
+        2 threads + an engine graph per call). Idempotent — call from the
+        owning engine/server when the group is done (ADVICE r2 #3:
+        background threads used to outlive their engines)."""
         up = getattr(self, "_ring_uploader", None)
         if up is not None:
             up.close()
             del self._ring_uploader
+        workers, self._workers = self._workers, []
+        for _ in workers:
+            self._dispatch_q.put(_CLOSE)   # drains queued batches first
+        for w in workers:
+            w.join(timeout=30)
 
     # -- enqueue / dispatch --------------------------------------------------
 
@@ -356,6 +374,9 @@ class DispatchGroup:
     def _dispatch_worker(self) -> None:
         while True:
             item = self._dispatch_q.get()
+            if item is _CLOSE:
+                self._dispatch_q.task_done()
+                return
             batch: List[_PendingClip] = []
             try:
                 if item is None:

@@ -47,6 +47,39 @@ def _encode_slot_yuv420(e, rgb_slot: np.ndarray, s: float, out: np.ndarray):
     return box, lm5
 
 
+def _area_resize_np(img: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """Exact area-average downscale (cv2.INTER_AREA semantics) in pure
+    numpy. Fractional source boxes are summed exactly by bilinear-sampling
+    the integral image (which is piecewise bilinear for a piecewise-constant
+    image, so the sampling is exact, not an approximation). Last-resort path
+    only — cv2 and the native kernel are both faster."""
+    h, w = img.shape[:2]
+    a = img.astype(np.float64).reshape(h, w, -1)
+    cs = np.zeros((h + 1, w + 1, a.shape[2]), np.float64)
+    cs[1:, 1:] = a.cumsum(0).cumsum(1)
+    ys = np.linspace(0.0, float(h), oh + 1)
+    xs = np.linspace(0.0, float(w), ow + 1)
+
+    def integral_at(y: np.ndarray, x: np.ndarray) -> np.ndarray:
+        yi = np.minimum(np.floor(y).astype(int), h - 1) if h else np.zeros_like(y, int)
+        xi = np.minimum(np.floor(x).astype(int), w - 1) if w else np.zeros_like(x, int)
+        fy = (y - yi)[:, None, None]
+        fx = (x - xi)[None, :, None]
+        c00 = cs[yi][:, xi]
+        c01 = cs[yi][:, xi + 1]
+        c10 = cs[yi + 1][:, xi]
+        c11 = cs[yi + 1][:, xi + 1]
+        return (c00 * (1 - fy) * (1 - fx) + c01 * (1 - fy) * fx
+                + c10 * fy * (1 - fx) + c11 * fy * fx)
+
+    F = integral_at(ys, xs)
+    box = F[1:, 1:] - F[:-1, 1:] - F[1:, :-1] + F[:-1, :-1]
+    area = (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
+    out = box / area[..., None]
+    out = np.clip(np.rint(out), 0, 255).astype(img.dtype)
+    return out.reshape((oh, ow) + img.shape[2:])
+
+
 def _pack_entry(e, dst_slot: np.ndarray, s: float) -> Tuple[np.ndarray, np.ndarray]:
     """Write one entry's crop into a zero-padded S×S slot at uniform scale
     ``s``; → (scaled box, scaled lm5).
@@ -64,7 +97,12 @@ def _pack_entry(e, dst_slot: np.ndarray, s: float) -> Tuple[np.ndarray, np.ndarr
             from ..native import resize_area_pack
 
             if not resize_area_pack(c, dst_slot, s):
-                raise
+                # last resort (no cv2 AND no native .so): pure-numpy area
+                # resize — slow but keeps the stream alive
+                h, w = c.shape[:2]
+                oh = min(max(1, int(h * s)), dst_slot.shape[0])
+                ow = min(max(1, int(w * s)), dst_slot.shape[1])
+                dst_slot[:oh, :ow] = _area_resize_np(c, oh, ow)
         else:
             h, w = c.shape[:2]
             oh = min(max(1, int(h * s)), dst_slot.shape[0])

@@ -378,6 +378,7 @@ def iter_screen_frames(
         dt = 1.0 / max(0.1, float(target_hz))
         t0 = time.perf_counter()
         k = 0
+        grab_failures = 0
         while max_frames is None or k < max_frames:
             try:
                 if region is not None and not titles:
@@ -388,10 +389,16 @@ def iter_screen_frames(
                     if region is not None:  # region within the found window
                         frame = frame[ry : ry + rh, rx : rx + rw]
             except X11Error:
-                if not titles:
+                # re-find once and retry; a second consecutive failure
+                # propagates (win_capture.py:126-130) — a persistently
+                # failing grab (e.g. BadMatch on an off-screen window) must
+                # not become a silent 100%-CPU retry spin
+                if not titles or grab_failures:
                     raise
-                wid = find_window_by_title(conn, titles, min_area=min_area)  # window died — re-find
+                grab_failures += 1
+                wid = find_window_by_title(conn, titles, min_area=min_area)
                 continue
+            grab_failures = 0
             yield frame
             k += 1
             if titles and refresh_every and k % refresh_every == 0:

@@ -313,11 +313,16 @@ def test_close_releases_uploader_and_rings():
     assert eng.rings
     up = eng._group.ring_uploader()
     thread = up._thread
+    lanes = list(eng._group._workers)
     assert thread.is_alive()
+    assert lanes and all(w.is_alive() for w in lanes)
     eng.close()
     assert not eng.rings                     # rings released
     thread.join(timeout=5.0)
     assert not thread.is_alive()             # uploader worker exited
+    for w in lanes:                          # dispatch lanes exited too — a
+        w.join(timeout=5.0)                  # parked lane pins the whole
+        assert not w.is_alive()              # group→engine→scorer graph
     eng.close()                              # idempotent
 
     server = MultiStreamServer(scorer, cfg=PIPE, device_resident=True,

@@ -53,6 +53,7 @@ class MockXServer:
         self.atoms = {}
         self.got_auth = None
         self.image_requests = []  # (drawable, x, y, w, h) log
+        self.fail_images_for = set()  # drawables whose GetImage errors
         self._srv, self.client_sock = socket.socketpair()
         self._thread = threading.Thread(target=self._serve, daemon=True)
         self._thread.start()
@@ -198,6 +199,8 @@ class MockXServer:
         if opcode == 73:  # GetImage
             drawable, x, y, w, h = struct.unpack_from("<IhhHH", body, 0)
             self.image_requests.append((drawable, x, y, w, h))
+            if drawable in self.fail_images_for:  # e.g. BadMatch when the
+                return self._error(seq, code=8)   # window is off-screen
             if drawable != self.ROOT:
                 win = self.windows.get(drawable)
                 if win is None or not win["alive"]:
@@ -279,6 +282,22 @@ def test_iter_window_frames_and_refind():
     for f in rest:
         assert f.shape == (350, 450, 3)  # window 0x204's geometry
     assert all(d in (0x201, 0x204) for d, *_ in srv.image_requests)
+
+
+def test_iter_window_persistent_grab_failure_raises():
+    """A grab that keeps failing while the window stays findable must raise
+    after one re-find, not spin a silent retry loop (the reference re-finds
+    once then lets the second failure propagate, win_capture.py:126-130)."""
+    srv = MockXServer()
+    srv.fail_images_for.add(0x201)
+    it = iter_screen_frames(
+        window_title=("Teams",), target_hz=1000.0, max_frames=5,
+        conn_factory=lambda: X11Connection(sock=srv.client_sock),
+    )
+    with pytest.raises(X11Error):
+        next(it)
+    # exactly two grab attempts: original + one post-re-find retry
+    assert len([d for d, *_ in srv.image_requests if d == 0x201]) == 2
 
 
 def test_iter_region_frames():
