@@ -54,6 +54,7 @@ class MockXServer:
         self.got_auth = None
         self.image_requests = []  # (drawable, x, y, w, h) log
         self.fail_images_for = set()  # drawables whose GetImage errors
+        self.framebuffers = {}  # wid -> BGR ndarray served instead of the gradient
         self._srv, self.client_sock = socket.socketpair()
         self._thread = threading.Thread(target=self._serve, daemon=True)
         self._thread.start()
@@ -69,7 +70,11 @@ class MockXServer:
         return np.stack([b, g, r], axis=-1)
 
     def _encode_image(self, drawable, x0, y0, w, h):
-        bgr = self.expected_bgr(drawable, x0, y0, w, h)
+        fb = self.framebuffers.get(drawable)
+        if fb is not None:
+            bgr = fb[y0 : y0 + h, x0 : x0 + w]
+        else:
+            bgr = self.expected_bgr(drawable, x0, y0, w, h)
         rm, gm, bm = self.masks
         words = np.zeros((h, w), np.uint32)
         for mask, chan in ((rm, bgr[:, :, 2]), (gm, bgr[:, :, 1]), (bm, bgr[:, :, 0])):
@@ -358,3 +363,52 @@ def test_sources_wiring():
     for r in rois:
         assert r.ndim == 3 and r.shape[2] == 3 and r.size > 0
     assert callable(sources.iter_screen)
+
+
+def test_x11_capture_drives_streaming_engine():
+    """Full live-call loop over the wire: frames written to the mock X
+    display, grabbed by iter_screen_frames, scored by the StreamingEngine —
+    per-clip scores must equal the direct-fed run exactly (the ZPixmap
+    round-trip is byte-exact). This is the Linux-native analogue of the
+    reference's Teams flow (win_capture.py:121 -> app_realtime.py)."""
+    import jax.numpy as jnp
+
+    from stdd_tpu.runtime.classifier import ClipScorer
+    from stdd_tpu.runtime.engine import StreamingEngine
+    from tests.test_engine import PIPE, SMALL_CFG, make_fake_detector
+
+    ENG_KW = dict(crop_buffer=160, q_lap_hard=0.0, q_lap_soft=0.0,
+                  q_weighting=False)
+    rng = np.random.RandomState(7)
+    frames = [rng.randint(0, 255, (380, 520, 3), np.uint8) for _ in range(24)]
+    scorer = ClipScorer.random_init(cfg=SMALL_CFG, dtype=jnp.float32)
+
+    def run(frame_iter):
+        eng = StreamingEngine(scorer, make_fake_detector(), cfg=PIPE, **ENG_KW)
+        got = []
+        for f in frame_iter:
+            got += eng.step(f)
+        got += eng.flush()
+        eng.close()
+        return got
+
+    direct = run(iter(frames))
+    assert direct, "fixture must produce scores"
+
+    srv = MockXServer()
+    it = iter_screen_frames(
+        window_title=("Teams",), target_hz=100000.0, max_frames=len(frames),
+        conn_factory=lambda: X11Connection(sock=srv.client_sock),
+    )
+
+    def captured():
+        for f in frames:
+            srv.framebuffers[0x201] = f  # "the call paints its window"
+            cap = next(it)
+            np.testing.assert_array_equal(cap, f)  # wire round-trip is exact
+            yield cap
+
+    via_x11 = run(captured())
+    assert [t for t, _ in via_x11] == [t for t, _ in direct]
+    np.testing.assert_allclose([p for _, p in via_x11],
+                               [p for _, p in direct], atol=0)
