@@ -134,17 +134,26 @@ def bench_engine():
     # variance is large — pool workers differ run to run, and a slow window
     # can cost 5x). Latency percentiles pool the per-clip enqueue→scored
     # samples (TEST2.py:316 semantics) across the timed passes.
+    # STDD_BENCH_PROFILE=/dir captures a jax.profiler trace of the timed
+    # passes (open with tensorboard/xprof; host events work even through
+    # the relay). Optional so the judged run stays zero-overhead.
+    import contextlib
+
+    prof_dir = os.environ.get("STDD_BENCH_PROFILE")
+    prof = jax.profiler.trace(prof_dir) if prof_dir else contextlib.nullcontext()
+
     pass_times = []
     scored_total = 0
     eng.clip_latencies.clear()
-    for p in range(3):
-        scored = 0
-        t0 = time.perf_counter()
-        for i in range(n_frames):
-            scored += len(eng.step(scene.frame(warmup_frames + p * n_frames + i)))
-        scored += len(eng.flush())
-        pass_times.append(time.perf_counter() - t0)
-        scored_total += scored
+    with prof:
+        for p in range(3):
+            scored = 0
+            t0 = time.perf_counter()
+            for i in range(n_frames):
+                scored += len(eng.step(scene.frame(warmup_frames + p * n_frames + i)))
+            scored += len(eng.flush())
+            pass_times.append(time.perf_counter() - t0)
+            scored_total += scored
     dt = min(pass_times)
     fps = n_frames / dt
     lats = 1000 * np.asarray(eng.clip_latencies, np.float64)

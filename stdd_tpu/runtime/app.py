@@ -197,6 +197,9 @@ def main(argv=None):
                          "(s3-s5); scores shift by the quantization error")
     ap.add_argument("--no_warmup", dest="warmup", action="store_false",
                     help="skip the startup pre-compile of scorer batch shapes")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the run into DIR "
+                         "(open with tensorboard/xprof)")
     ap.add_argument("--max_batch_wait", type=int, default=None,
                     help="ship a partial clip batch after this many frames "
                          "(default: stride — a 1-face call must not wait for "
@@ -257,7 +260,14 @@ def main(argv=None):
     else:
         frames = sources.iter_video_file(args.source, max_frames=args.max_frames)
 
-    ready, fake = run_loop(app, frames, show=args.show, out_video=args.out_video)
+    import contextlib
+
+    import jax as _jax
+
+    prof = (_jax.profiler.trace(args.profile) if args.profile
+            else contextlib.nullcontext())
+    with prof:
+        ready, fake = run_loop(app, frames, show=args.show, out_video=args.out_video)
     print(f"meeting verdict: ready={ready} fake={fake}")
 
 
