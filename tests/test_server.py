@@ -333,3 +333,37 @@ def test_close_releases_uploader_and_rings():
     server.flush(a)
     server.close()
     assert not server.streams
+
+
+def test_per_video_engine_loop_leaks_no_threads_and_frees_the_graph():
+    """The per-video serving pattern (fresh engine per call, close() after)
+    must not accumulate background threads, and a closed engine's object
+    graph must be collectable — a parked dispatch lane used to pin the
+    whole group->engine graph alive forever."""
+    import gc
+    import threading
+    import time as _time
+    import weakref
+
+    scorer = ClipScorer.random_init(cfg=SMALL_CFG, dtype=jnp.float32)
+    base = threading.active_count()
+    refs = []
+    for i in range(5):
+        eng = StreamingEngine(scorer, make_fake_detector(), cfg=PIPE,
+                              device_resident=True, **ENG_KW)
+        for _ in range(8):
+            eng.step(_frame(seed=i))
+        eng.flush()
+        eng.close()
+        refs.append(weakref.ref(eng))
+        del eng
+
+    deadline = _time.time() + 15
+    while threading.active_count() > base and _time.time() < deadline:
+        _time.sleep(0.1)
+    assert threading.active_count() <= base, (
+        threading.active_count(), base, threading.enumerate())
+
+    gc.collect()
+    alive = [r for r in refs if r() is not None]
+    assert not alive, f"{len(alive)} closed engines still pinned in memory"
