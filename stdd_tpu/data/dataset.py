@@ -285,12 +285,14 @@ class DualFeaturesClipDataset:
 
     @staticmethod
     def _ema(X, alpha):
-        if alpha <= 0 or X.shape[0] <= 1:
+        # single source of truth with eval-time smoothing
+        # (collect_logits(smooth_alpha=...)): the two conventions MUST stay
+        # identical, so delegate to the [B,T,D] implementation
+        from ..train.metrics import ema_1d
+
+        if X.shape[0] <= 1:
             return X
-        Y = X.copy()
-        for t in range(1, X.shape[0]):
-            Y[t] = alpha * Y[t - 1] + (1 - alpha) * X[t]
-        return Y
+        return ema_1d(X[None], alpha)[0]
 
     def _augment(self, A: np.ndarray, L: np.ndarray):
         a = self.aug

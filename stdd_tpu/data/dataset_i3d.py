@@ -18,6 +18,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from .dataset import ids_from_dir, infer_tech_from_path, label_from_dir
+from .preprocess import CLIP_STEP
 
 
 class I3DClipDataset:
@@ -33,6 +34,7 @@ class I3DClipDataset:
         p_jpeg: float = 0.3,
         p_erase: float = 0.3,
         seed: int = 0,
+        clip_step: Optional[int] = None,  # writer stride; None = CLIP_STEP
     ):
         if clip_dirs is None:
             assert root_dir
@@ -68,15 +70,29 @@ class I3DClipDataset:
                 t_clip = np.load(os.path.join(lst[0], "images.npy"), mmap_mode="r").shape[0]
             except Exception:
                 continue
-            need = max(1, -(-T // t_clip))  # ceil
-            for i in range(0, len(lst) - need + 1):
-                win = lst[i : i + need]
+            # consecutive clips from the preprocess writer OVERLAP: clip
+            # i+1 starts clip_step frames after clip i (CLIP_STEP=4 <
+            # CLIP_LENGTH=8, mirroring preprocessing_parallel.py:97/:416),
+            # so k stitched clips yield t_clip + (k-1)*step unique frames —
+            # NOT k*t_clip. Stitching whole clips would duplicate frames
+            # and jump time backward at every boundary.
+            step = min(clip_step if clip_step is not None else CLIP_STEP, t_clip)
+            if T <= t_clip:
+                need = 1
+            else:
+                need = 1 + -(-(T - t_clip) // step)  # ceil
+            # tracks shorter than one full window still train/score — the
+            # pad-with-last-frame path (TEST2.py:358) completes the clip
+            spans = ([lst] if len(lst) < need
+                     else [lst[i : i + need] for i in range(len(lst) - need + 1)])
+            for win in spans:
                 self.windows.append(win)
                 self.labels.append(label_from_dir(win[0]))
                 self.tech_names.append(infer_tech_from_path(win[0]))
                 self.track_keys.append(key)
         if not self.windows:
             raise RuntimeError("no image clips found")
+        self.clip_step = clip_step if clip_step is not None else CLIP_STEP
         self.T = T
         self.is_train = is_train
         self.aug = dict(color_jitter=color_jitter, p_gauss_blur=p_gauss_blur,
@@ -117,10 +133,29 @@ class I3DClipDataset:
             out[:, y0 : y0 + eh, x0 : x0 + ew] = 0
         return out
 
+    def _stitch(self, dirs: List[str]) -> np.ndarray:
+        """Unique, time-ordered frames from overlapping consecutive clips.
+
+        Preferred path: exact dedupe by the writer's ``frame_ids.npy``
+        (robust to gapped clips). Fallback for trees written before round 3:
+        the writer convention — each subsequent clip contributes its last
+        ``clip_step`` frames (the rest repeat the previous clip's tail)."""
+        clips = [np.load(os.path.join(d, "images.npy")) for d in dirs]
+        fid_paths = [os.path.join(d, "frame_ids.npy") for d in dirs]
+        if all(os.path.isfile(p) for p in fid_paths):
+            seen, keep = set(), []
+            for c, f in zip(clips, (np.load(p) for p in fid_paths)):
+                for frame, fid in zip(c, f):
+                    if int(fid) not in seen:
+                        seen.add(int(fid))
+                        keep.append(frame)
+            return np.stack(keep)
+        step = min(self.clip_step, clips[0].shape[0])
+        parts = [clips[0]] + [c[c.shape[0] - step:] for c in clips[1:]]
+        return np.concatenate(parts)
+
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
-        frames = np.concatenate(
-            [np.load(os.path.join(d, "images.npy")) for d in self.windows[i]]
-        )
+        frames = self._stitch(self.windows[i])
         if frames.shape[0] >= self.T:
             if self.is_train:
                 s = self.rng.randint(0, frames.shape[0] - self.T + 1)

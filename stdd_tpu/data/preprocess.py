@@ -45,6 +45,7 @@ class ClipTask:
     aus: List[Dict[str, float]]
     frame_start: int
     frame_end: int
+    frame_ids: Optional[List[int]] = None  # per-frame source indices
 
 
 class ClipWriter:
@@ -106,6 +107,12 @@ class ClipWriter:
                     np.asarray(task.aus, dtype=object),
                     allow_pickle=True,
                 )
+                if task.frame_ids is not None:
+                    # exact per-frame source indices: lets window stitching
+                    # (dataset_i3d) dedupe the CLIP_STEP overlap precisely
+                    # even across gapped clips
+                    np.save(os.path.join(d, "frame_ids.npy"),
+                            np.asarray(task.frame_ids, np.int64))
                 self.rows.append([
                     task.video_rel, task.track_id, task.clip_idx,
                     task.frame_start, task.frame_end, len(task.images), d,
@@ -219,7 +226,9 @@ class PreprocessPipeline:
         if self.landmarker is not None:
             t0 = time.perf_counter()
             for tr in live:
-                if tr.track_id in aus_now or tr.track_id in lms_now:
+                # tids excludes degenerate-box tracks; lms_now is keyed by
+                # exactly those, so this is the only membership that matters
+                if tr.track_id in lms_now:
                     lm = self.landmarker(frame_rgb, tr.tlbr)
                     if lm is not None:
                         lms_now[tr.track_id] = np.asarray(lm, np.float32)
@@ -254,6 +263,7 @@ class PreprocessPipeline:
                         lm_buf[tid][: self.clip_length],
                         au_buf[tid][: self.clip_length],
                         fids[0], fids[-1],   # true (possibly gapped) frame span
+                        frame_ids=list(fids),
                     ))
                     counters[tid] = idx + 1
                 img_buf[tid] = img_buf[tid][self.clip_step:]

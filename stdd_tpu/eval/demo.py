@@ -41,7 +41,13 @@ def load_reference_cache(path: str):
 
 def window_index_lists(T: int, clip_size: int):
     """Sliding stride-1 windows, or ONE reflect-padded window for short
-    tracks (demo.py:275-302)."""
+    tracks (demo.py:275-302).
+
+    Note the reference's quirk, replicated deliberately: the LEFT pad is the
+    reversed interior truncated from its start (``base[1:T-1][::-1][:l]`` —
+    frames near the track's END), not a true np.pad-style reflection of the
+    start. Parity with the reference's scored windows wins over prettiness.
+    """
     base = list(range(T))
     if T >= clip_size:
         return [base[s : s + clip_size] for s in range(T - clip_size + 1)]

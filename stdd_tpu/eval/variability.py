@@ -56,6 +56,17 @@ def run_one(y: np.ndarray, scores: np.ndarray, seed: int, cfg: VariabilityConfig
     per_fold = []
     for k, (_, fold) in enumerate(skf.split(yt, yt), start=1):
         yf, sf = yt[fold], st[fold]
+        if len(np.unique(yf)) < 2:
+            # a class with fewer members than n_folds leaves this fold
+            # single-class; AUC/AP are undefined there — record NaN instead
+            # of crashing the whole seed suite after the expensive eval ran
+            per_fold.append({"fold": k, "n": int(len(fold)),
+                             "auc": float("nan"), "ap": float("nan"),
+                             "f1_macro": float("nan"),
+                             "precision_macro": float("nan"),
+                             "recall_macro": float("nan"),
+                             "single_class": True})
+            continue
         yhat = (sf >= cfg.threshold).astype(int)
         per_fold.append({
             "fold": k, "n": int(len(fold)),
@@ -67,8 +78,11 @@ def run_one(y: np.ndarray, scores: np.ndarray, seed: int, cfg: VariabilityConfig
         })
 
     def ms(key):
-        vals = [f[key] for f in per_fold]
-        return {"mean": float(np.mean(vals)), "sd": float(np.std(vals, ddof=1))}
+        vals = [f[key] for f in per_fold if not np.isnan(f[key])]
+        if not vals:
+            return {"mean": float("nan"), "sd": float("nan")}
+        sd = float(np.std(vals, ddof=1)) if len(vals) > 1 else 0.0
+        return {"mean": float(np.mean(vals)), "sd": sd}
 
     return {
         "seed": seed,

@@ -346,6 +346,7 @@ def train_dual(
     sampler=None,
     test_data: Optional[Dict[str, np.ndarray]] = None,
     log: Callable[[str], None] = print,
+    train_provider: Optional[Callable[[], Dict[str, np.ndarray]]] = None,
 ) -> Dict[str, Any]:
     """Full training loop (engine.py:267 train): balanced sampling, AltFreeze
     phases, early stopping on val AUC, best-checkpoint reload, temperature
@@ -390,6 +391,12 @@ def train_dual(
     history: List[Dict[str, float]] = []
 
     for epoch in range(1, args.epochs + 1):
+        if train_provider is not None and epoch > 1:
+            # re-materialize so feature-space augmentations (noise, temporal
+            # crop) are re-SAMPLED per epoch — a single load_all would bake
+            # one fixed noise draw into all epochs (the reference's torch
+            # DataLoader re-runs __getitem__ every epoch)
+            train_data = train_provider()
         phase = dual_phase(args.altfreeze, epoch, args.epochs)
         active = active_mask_from_labels(labels, dual_phase_active(phase))
         dat_lam = (

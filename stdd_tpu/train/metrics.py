@@ -88,13 +88,23 @@ def threshold_from_roc(
     from sklearn.metrics import roc_curve
 
     fpr, tpr, thr = roc_curve(y, probs)
+
+    def realized(t: float) -> float:
+        # sklearn's (fpr=0, tpr=0, thr=inf) sentinel is unrealizable:
+        # convert to a finite threshold just above the largest score
+        # (same convention as eval/best.py:146-148) so callers never
+        # serialize/deploy an inf operating point
+        if not np.isfinite(t):
+            return float(np.nextafter(np.max(probs), np.inf)) if len(probs) else 1.0
+        return float(t)
+
     if target_fpr is not None:
         mask = fpr <= float(target_fpr)
         if not np.any(mask):
             idx = int(np.argmin(fpr))
         else:
             idx = int(np.arange(len(fpr))[mask][int(np.argmax(tpr[mask]))])
-        t = float(thr[idx])
+        t = realized(thr[idx])
         return t, _stats_at_threshold(probs, y, t)
     if metric == "youden":
         idx = int(np.argmax(tpr - fpr))
@@ -109,9 +119,20 @@ def threshold_from_roc(
             idx = int(np.where(mask)[0][int(np.argmin(d2))])
     else:
         key = {"acc": "acc", "f1": "f1"}.get(metric, "youden")
-        scores = [_stats_at_threshold(probs, y, float(t))[key] for t in thr]
+        # O(n): acc/f1 per ROC point from the cumulative counts the curve
+        # already encodes (a per-threshold confusion_matrix sweep is O(n^2)
+        # and stalls large val splits on the 1-core host)
+        n_pos = float(np.sum(y == 1))
+        n_neg = float(len(y) - n_pos)
+        tp = tpr * n_pos
+        fp = fpr * n_neg
+        if key == "acc":
+            scores = (tp + (n_neg - fp)) / max(1.0, n_pos + n_neg)
+        else:  # f1
+            denom = 2 * tp + fp + (n_pos - tp)
+            scores = np.where(denom > 0, 2 * tp / np.maximum(denom, 1e-12), 0.0)
         idx = int(np.argmax(scores))
-    t = float(thr[idx])
+    t = realized(thr[idx])
     return t, _stats_at_threshold(probs, y, t)
 
 

@@ -120,7 +120,10 @@ def main(argv=None):
     train = train_ds.load_all()
     val = val_ds.load_all()
     res = train_dual(model, train, val, targs, out_dir=args.out,
-                     sampler=sampler, log=log.info)
+                     sampler=sampler, log=log.info,
+                     # per-epoch re-materialization re-samples the feature
+                     # augmentations; val stays a single fixed draw
+                     train_provider=train_ds.load_all)
     log.info(f"best val auc {res['best_val_auc']:.4f}  T*={res['temperature']:.3f}")
 
     if test_ds is not None and len(test_ds):

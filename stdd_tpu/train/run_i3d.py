@@ -138,7 +138,10 @@ def main(argv=None):
         weight_decay=args.weight_decay, alter_freq=args.alter_freq,
         steps_per_epoch=steps_per_epoch, seed=args.seed, grad_clip=1.0,
     )
-    sample = jnp.zeros((args.batch, args.clip_size, args.crop_size, args.crop_size, 3))
+    # batch-1 sample: parameter shapes don't depend on batch, and init runs
+    # un-sharded on one device — a global-batch zeros tensor here would
+    # trace/materialize gigabytes the sharded train step never needs
+    sample = jnp.zeros((1, args.clip_size, args.crop_size, args.crop_size, 3))
     state, step_fn, sched = init_i3d_training(model, targs, sample)
 
     mesh = None
