@@ -15,6 +15,12 @@ dead backend blocks ~18 minutes before raising. So the parent process NEVER
 touches jax until a short-timeout SUBPROCESS probe has decided the platform;
 on probe failure JAX_PLATFORMS=cpu is exported before the first jax import
 and the dead backend is never touched again.
+
+Round-3 addendum: a green probe is NOT sufficient — on 2026-08-19 the
+backend answered small reductions but a full I3D forward compile hung past
+590 s. So the on-TPU bench itself also runs in a bounded SUBPROCESS
+(`STDD_BENCH_TPU_BUDGET_S`, default 1500 s); a hung warmup is killed at the
+budget and the CPU fallback still emits the one judged line.
 """
 
 import json
@@ -270,12 +276,50 @@ def bench_i3d_throughput():
     }
 
 
+def _last_json_line(text: str):
+    for line in reversed(text.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except ValueError:
+                continue
+    return None
+
+
 def main():
     # Platform decision FIRST, via bounded subprocess — the parent process
     # must never block on a dead backend (round-2 BENCH rc=124 post-mortem).
     want_cpu = os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu"
     if not want_cpu and os.environ.get("STDD_BENCH_NO_PROBE") != "1":
         want_cpu = not tpu_available()
+
+    # A green probe does not guarantee a usable backend (round-3 lesson:
+    # small reductions answered while a full-model compile hung >590 s), so
+    # the on-TPU bench runs in its own bounded subprocess. The parent only
+    # ever runs jax in-process for the CPU path.
+    if not want_cpu and os.environ.get("STDD_BENCH_TPU_CHILD") != "1":
+        budget = float(os.environ.get("STDD_BENCH_TPU_BUDGET_S", "1500"))
+        env = dict(os.environ, STDD_BENCH_NO_PROBE="1", STDD_BENCH_TPU_CHILD="1")
+        result = None
+        try:
+            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                 env=env, capture_output=True, text=True,
+                                 timeout=budget)
+            sys.stderr.write(out.stderr[-4000:])
+            if out.returncode == 0:
+                result = _last_json_line(out.stdout)
+        except subprocess.TimeoutExpired as e:
+            print(f"bench: TPU bench child exceeded {budget:.0f}s — killed; "
+                  "falling back to CPU", file=sys.stderr)
+            if e.stderr:
+                err = e.stderr
+                sys.stderr.write(err[-2000:] if isinstance(err, str)
+                                 else err[-2000:].decode("utf-8", "replace"))
+        if result is not None:
+            print(json.dumps(result))
+            return
+        want_cpu = True
 
     import jax
 

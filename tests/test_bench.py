@@ -50,3 +50,64 @@ def test_bench_scene_frame_deterministic_under_canvas_reuse():
     for i in range(6, 6 + s._N_CANVAS - 1):
         s.frame(i)
     np.testing.assert_array_equal(held, snapshot)
+
+def test_bench_tpu_child_line_passthrough(monkeypatch, capsys):
+    """When the probe is green, the on-TPU bench runs in a bounded child
+    subprocess (a green probe does not guarantee big compiles return —
+    round-3 rig log) and the parent passes its JSON line through verbatim."""
+    import subprocess
+
+    import bench
+
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    monkeypatch.setenv("STDD_BENCH_NO_PROBE", "0")
+    monkeypatch.setattr(bench, "tpu_available", lambda *a, **k: True)
+
+    canned = {"metric": "streaming_fps_1080p", "value": 107.8,
+              "unit": "frames/s", "vs_baseline": 7.2}
+    seen = {}
+
+    def fake_run(cmd, env=None, timeout=None, **kw):
+        seen["env"] = env
+        seen["timeout"] = timeout
+        return subprocess.CompletedProcess(
+            cmd, 0, stdout="noise\n" + __import__("json").dumps(canned) + "\n",
+            stderr="child stderr tail")
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    bench.main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert __import__("json").loads(line) == canned
+    assert seen["env"]["STDD_BENCH_TPU_CHILD"] == "1"
+    assert seen["env"]["STDD_BENCH_NO_PROBE"] == "1"
+    assert seen["timeout"] == 1500.0
+
+
+def test_bench_tpu_child_timeout_falls_back_to_cpu(monkeypatch, capsys):
+    """A hung TPU warmup is killed at STDD_BENCH_TPU_BUDGET_S and the parent
+    still emits the one judged line from the CPU path."""
+    import subprocess
+
+    import bench
+
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    monkeypatch.setenv("STDD_BENCH_TPU_BUDGET_S", "7")
+    monkeypatch.setattr(bench, "tpu_available", lambda *a, **k: True)
+
+    def fake_run(cmd, env=None, timeout=None, **kw):
+        raise subprocess.TimeoutExpired(cmd, timeout, stderr="hung in warmup")
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    cpu_line = {"metric": "streaming_fps_cpu_fallback", "value": 13.7,
+                "unit": "frames/s", "vs_baseline": 0.9}
+    monkeypatch.setattr(bench, "bench_engine", lambda: cpu_line)
+    bench.main()
+    out = capsys.readouterr()
+    assert __import__("json").loads(out.out.strip().splitlines()[-1]) == cpu_line
+
+
+def test_bench_last_json_line_tolerates_noise():
+    import bench
+
+    assert bench._last_json_line("junk\n{bad json}\n{\"a\": 1}\ntail") == {"a": 1}
+    assert bench._last_json_line("no json at all") is None
