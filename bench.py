@@ -25,6 +25,7 @@ budget and the CPU fallback still emits the one judged line.
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -300,22 +301,37 @@ def main():
     # ever runs jax in-process for the CPU path.
     if not want_cpu and os.environ.get("STDD_BENCH_TPU_CHILD") != "1":
         budget = float(os.environ.get("STDD_BENCH_TPU_BUDGET_S", "1500"))
-        env = dict(os.environ, STDD_BENCH_NO_PROBE="1", STDD_BENCH_TPU_CHILD="1")
+        # The child may itself spawn a CPU re-exec grandchild that inherits
+        # the capture pipes; killing only the direct child would leave
+        # communicate() blocked on the orphan's open stdout (ADVICE r3 #1).
+        # So: own process group (start_new_session) + killpg on timeout, and
+        # the child learns its absolute deadline so any internal re-exec
+        # timeout stays strictly inside the parent's budget.
+        env = dict(os.environ, STDD_BENCH_NO_PROBE="1", STDD_BENCH_TPU_CHILD="1",
+                   STDD_BENCH_DEADLINE=str(time.time() + budget))
         result = None
+        proc = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                                env=env, stdout=subprocess.PIPE,
+                                stderr=subprocess.PIPE, text=True,
+                                start_new_session=True)
         try:
-            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                                 env=env, capture_output=True, text=True,
-                                 timeout=budget)
-            sys.stderr.write(out.stderr[-4000:])
-            if out.returncode == 0:
-                result = _last_json_line(out.stdout)
-        except subprocess.TimeoutExpired as e:
-            print(f"bench: TPU bench child exceeded {budget:.0f}s — killed; "
-                  "falling back to CPU", file=sys.stderr)
-            if e.stderr:
-                err = e.stderr
-                sys.stderr.write(err[-2000:] if isinstance(err, str)
-                                 else err[-2000:].decode("utf-8", "replace"))
+            out, err = proc.communicate(timeout=budget)
+            sys.stderr.write(err[-4000:])
+            if proc.returncode == 0:
+                result = _last_json_line(out)
+        except subprocess.TimeoutExpired:
+            print(f"bench: TPU bench child exceeded {budget:.0f}s — killing "
+                  "its process group; falling back to CPU", file=sys.stderr)
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                proc.kill()
+            try:
+                _, err = proc.communicate(timeout=30)
+                if err:
+                    sys.stderr.write(err[-2000:])
+            except Exception:
+                proc.kill()
         if result is not None:
             print(json.dumps(result))
             return
@@ -358,10 +374,18 @@ def main():
             # (empty stdout, non-JSON tail, timeout): emit an honest error
             # line rather than dying with a traceback (BENCH_r02 rc=124 was
             # exactly a silent artifact)
+            # Stay inside the parent's kill budget if we're the TPU child
+            # (otherwise the parent killpg's us mid-re-exec and the judged
+            # line is lost) — ADVICE r3 #1.
+            deadline = os.environ.get("STDD_BENCH_DEADLINE")
+            reexec_timeout = 3000.0
+            if deadline:
+                reexec_timeout = max(30.0, min(
+                    reexec_timeout, float(deadline) - time.time() - 20.0))
             try:
                 out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                      env=env, capture_output=True, text=True,
-                                     timeout=3000)
+                                     timeout=reexec_timeout)
                 sys.stderr.write(out.stderr[-4000:])
                 line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
                 result = json.loads(line)

@@ -136,6 +136,15 @@ class RingKernels:
 
         self._window = jax.jit(window, static_argnums=2)
 
+        def window_padded(ring, head, k, T):
+            # last k frames (oldest first) then the newest frame repeated to
+            # length T — the reference's short-window padding (TEST2.py:
+            # 358-363), for sub-stride provisional windows on young tracks
+            idx = (head - (k - 1) + jnp.minimum(jnp.arange(T), k - 1)) % R
+            return jnp.take(ring, idx, axis=0)
+
+        self._window_padded = jax.jit(window_padded, static_argnums=3)
+
     def push_many(self, ring, slots, i0, k: int):
         """Write ``slots[:k]`` into positions ``i0 .. i0+k-1 (mod R)``."""
         fn = self._push_many_cache.get(k)
@@ -165,6 +174,8 @@ class RingKernels:
                 ring, jnp.zeros((k,) + self.slot_shape, jnp.uint8),
                 jnp.int32(0), k)
         jax.block_until_ready(self._window(ring, jnp.int32(0), T))
+        jax.block_until_ready(
+            self._window_padded(ring, jnp.int32(0), jnp.int32(1), T))
 
 
 class DeviceRing:
@@ -251,4 +262,20 @@ class DeviceRing:
             self.uploader.sync(self)
         dev = self.k._window(self.ring, jnp.int32(self.head), T)
         idx = (self.head - T + 1 + np.arange(T)) % self.k.R
+        return dev, self.boxes[idx].copy(), self.lm5[idx].copy(), self.scale[idx].copy()
+
+    def window_padded(self, T: int):
+        """Provisional sub-stride window for a young track: the last
+        ``min(count, T)`` frames padded at the end by repeating the newest
+        frame (the reference's short-window padding, TEST2.py:358-363).
+        Requires ``count >= 1``."""
+        if self.count < 1:
+            raise ValueError("ring is empty")
+        k = min(self.count, T)
+        self.flush_staged()
+        if self.uploader is not None:
+            self.uploader.sync(self)
+        dev = self.k._window_padded(self.ring, jnp.int32(self.head),
+                                    jnp.int32(k), T)
+        idx = (self.head - (k - 1) + np.minimum(np.arange(T), k - 1)) % self.k.R
         return dev, self.boxes[idx].copy(), self.lm5[idx].copy(), self.scale[idx].copy()

@@ -60,6 +60,7 @@ def test_bench_tpu_child_line_passthrough(monkeypatch, capsys):
     import bench
 
     monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    monkeypatch.delenv("STDD_BENCH_TPU_BUDGET_S", raising=False)
     monkeypatch.setenv("STDD_BENCH_NO_PROBE", "0")
     monkeypatch.setattr(bench, "tpu_available", lambda *a, **k: True)
 
@@ -67,25 +68,34 @@ def test_bench_tpu_child_line_passthrough(monkeypatch, capsys):
               "unit": "frames/s", "vs_baseline": 7.2}
     seen = {}
 
-    def fake_run(cmd, env=None, timeout=None, **kw):
-        seen["env"] = env
-        seen["timeout"] = timeout
-        return subprocess.CompletedProcess(
-            cmd, 0, stdout="noise\n" + __import__("json").dumps(canned) + "\n",
-            stderr="child stderr tail")
+    class FakeProc:
+        pid = 12345
+        returncode = 0
 
-    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+        def __init__(self, cmd, env=None, start_new_session=None, **kw):
+            seen["env"] = env
+            seen["start_new_session"] = start_new_session
+
+        def communicate(self, timeout=None):
+            seen["timeout"] = timeout
+            return ("noise\n" + __import__("json").dumps(canned) + "\n",
+                    "child stderr tail")
+
+    monkeypatch.setattr(bench.subprocess, "Popen", FakeProc)
     bench.main()
     line = capsys.readouterr().out.strip().splitlines()[-1]
     assert __import__("json").loads(line) == canned
     assert seen["env"]["STDD_BENCH_TPU_CHILD"] == "1"
     assert seen["env"]["STDD_BENCH_NO_PROBE"] == "1"
+    assert float(seen["env"]["STDD_BENCH_DEADLINE"]) > 0
+    assert seen["start_new_session"] is True
     assert seen["timeout"] == 1500.0
 
 
 def test_bench_tpu_child_timeout_falls_back_to_cpu(monkeypatch, capsys):
-    """A hung TPU warmup is killed at STDD_BENCH_TPU_BUDGET_S and the parent
-    still emits the one judged line from the CPU path."""
+    """A hung TPU warmup is killed (whole process group — the child may have
+    spawned a pipe-inheriting grandchild) at STDD_BENCH_TPU_BUDGET_S and the
+    parent still emits the one judged line from the CPU path."""
     import subprocess
 
     import bench
@@ -94,16 +104,34 @@ def test_bench_tpu_child_timeout_falls_back_to_cpu(monkeypatch, capsys):
     monkeypatch.setenv("STDD_BENCH_TPU_BUDGET_S", "7")
     monkeypatch.setattr(bench, "tpu_available", lambda *a, **k: True)
 
-    def fake_run(cmd, env=None, timeout=None, **kw):
-        raise subprocess.TimeoutExpired(cmd, timeout, stderr="hung in warmup")
+    killed = {}
 
-    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    class HungProc:
+        pid = 12345
+        returncode = None
+
+        def __init__(self, cmd, **kw):
+            self._cmd = cmd
+
+        def communicate(self, timeout=None):
+            if not killed:
+                raise subprocess.TimeoutExpired(self._cmd, timeout,
+                                                stderr="hung in warmup")
+            return "", "post-kill stderr"
+
+        def kill(self):
+            killed["plain"] = True
+
+    monkeypatch.setattr(bench.subprocess, "Popen", HungProc)
+    monkeypatch.setattr(bench.os, "killpg",
+                        lambda pid, sig: killed.setdefault("pg", (pid, sig)))
     cpu_line = {"metric": "streaming_fps_cpu_fallback", "value": 13.7,
                 "unit": "frames/s", "vs_baseline": 0.9}
     monkeypatch.setattr(bench, "bench_engine", lambda: cpu_line)
     bench.main()
     out = capsys.readouterr()
     assert __import__("json").loads(out.out.strip().splitlines()[-1]) == cpu_line
+    assert killed["pg"] == (12345, bench.signal.SIGKILL)
 
 
 def test_bench_last_json_line_tolerates_noise():

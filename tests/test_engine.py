@@ -281,3 +281,83 @@ def test_bare_engine_default_bounded_latency():
     assert len(eng2.clip_latencies) == 0
     eng2.flush()
     assert len(eng2.clip_latencies) >= 1
+
+
+def test_stagger_windows_desynchronizes_tracks():
+    """With stagger_windows=True, co-appearing faces' steady-state window
+    emissions land on different frames (golden-ratio phase offsets), so an
+    n-face call never dispatches n windows on one stride tick. First-window
+    timing is unchanged."""
+    import dataclasses
+
+    pipe = dataclasses.replace(PIPE, stride=8, batch_clips=8)
+
+    def run(stagger):
+        scorer = ClipScorer.random_init(cfg=SMALL_CFG, dtype=jnp.float32)
+        eng = StreamingEngine(
+            scorer, make_fake_detector(3), cfg=pipe, crop_buffer=160,
+            q_lap_hard=0.0, q_lap_soft=0.0, q_weighting=False,
+            stagger_windows=stagger, max_batch_wait_frames=0,
+        )
+        emits = []   # (frame_idx, tid) at enqueue time
+        orig = eng._group.enqueue
+        eng._group.enqueue = lambda c: (emits.append((eng.frame_idx, c.tid)),
+                                        orig(c))[1]
+        for fr in _frames(64):
+            eng.step(fr)
+        eng.flush()
+        eng.close()
+        return emits
+
+    base = run(False)
+    stag = run(True)
+    # without staggering all 3 tracks emit on the SAME frames
+    frames_of = lambda emits, skip_first: {}
+    per_tid = {}
+    for f, t in stag:
+        per_tid.setdefault(t, []).append(f)
+    # first window per track still lands together (buffer-fill gated)
+    firsts = {v[0] for v in per_tid.values()}
+    assert len(firsts) == 1
+    # steady-state ticks are phase-offset: at stride 8 the golden-ratio
+    # phases are 0, 4, 1 — at least two distinct residues mod stride
+    residues = {v[1] % 8 for v in per_tid.values() if len(v) > 1}
+    assert len(residues) >= 2, per_tid
+    # the unstaggered engine emits every later window in lockstep
+    per_tid_base = {}
+    for f, t in base:
+        per_tid_base.setdefault(t, []).append(f)
+    later = [tuple(v[1:]) for v in per_tid_base.values()]
+    assert len(set(later)) == 1, per_tid_base
+    # staggering changes scheduling only: steady-state cadence is unchanged,
+    # but each track's later windows shift by its phase, so within a FIXED
+    # horizon a delayed track may lose at most the tail window
+    cnt_s = sorted(len(v) for v in per_tid.values())
+    cnt_b = sorted(len(v) for v in per_tid_base.values())
+    assert all(b - 1 <= s <= b for s, b in zip(cnt_s, cnt_b)), (
+        per_tid, per_tid_base)
+
+
+def test_early_window_first_verdict_latency():
+    """early_window_frac dispatches one provisional padded window per new
+    track as soon as ceil(clip_size*frac) frames are buffered; the regular
+    full-window schedule is unchanged afterwards."""
+    def run(frac, n):
+        eng = make_engine(early_window_frac=frac)
+        scored = []
+        for fr in _frames(n):
+            scored += eng.step(fr)
+        scored += eng.flush()
+        eng.close()
+        return scored
+
+    # clip 8: a 5-frame stream yields NO score without the early window...
+    assert run(0.0, 5) == []
+    # ...and exactly one provisional score with frac=0.5 (ready at frame 4)
+    early = run(0.5, 5)
+    assert len(early) == 1 and 0.0 <= early[0][1] <= 1.0
+
+    # over a longer run the early window adds exactly one score per track
+    base = run(0.0, 24)
+    plus = run(0.5, 24)
+    assert len(plus) == len(base) + 1

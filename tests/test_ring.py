@@ -339,3 +339,54 @@ def test_ring_multiface_and_yuv420():
     assert len(eng.track_clip_scores) == 2
     for scores in eng.track_clip_scores.values():
         assert scores and all(0.0 <= p <= 1.0 for p in scores)
+
+
+def test_ring_window_padded_short_track():
+    """window_padded on a young ring: last k frames oldest-first, then the
+    newest frame repeated to T (TEST2.py:358-363 short-window padding)."""
+    k = RingKernels(R=8, S=16, yuv420=False)
+    ring = DeviceRing(k)
+    for i in range(3):
+        crop = np.full((12, 10, 3), i + 1, np.uint8)
+        ring.push(crop, np.array([i, i, i + 10.0, i + 12.0]),
+                  np.full((5, 2), float(i)))
+    dev, boxes, lm5, scale = ring.window_padded(6)
+    w = np.asarray(dev)
+    np.testing.assert_array_equal(w[:, 0, 0, 0], [1, 2, 3, 3, 3, 3])
+    np.testing.assert_allclose(boxes[:, 0], [0, 1, 2, 2, 2, 2])
+    np.testing.assert_allclose(lm5[:, 0, 0], [0, 1, 2, 2, 2, 2])
+    assert (scale == 1.0).all()
+
+    # with count >= T it degenerates to the regular window
+    for i in range(3, 9):
+        ring.push(np.full((12, 10, 3), i + 1, np.uint8),
+                  np.array([i, i, i + 10.0, i + 12.0]),
+                  np.full((5, 2), float(i)))
+    devp, bp, _, _ = ring.window_padded(6)
+    devf, bf, _, _ = ring.window(6)
+    np.testing.assert_array_equal(np.asarray(devp), np.asarray(devf))
+    np.testing.assert_allclose(bp, bf)
+
+    with pytest.raises(ValueError):
+        DeviceRing(k).window_padded(4)
+
+
+def test_ring_early_window_matches_packed_engine():
+    """The provisional sub-stride window must score identically through the
+    ring path and the host-packed path (both pad with the newest frame)."""
+    scorer = ClipScorer.random_init(cfg=SMALL_CFG, dtype=jnp.float32)
+    kw = dict(cfg=PIPE, crop_buffer=160, q_lap_hard=0.0, q_lap_soft=0.0,
+              q_weighting=False, early_window_frac=0.5)
+    eng_r = StreamingEngine(scorer, make_fake_detector(1),
+                            device_resident=True, **kw)
+    eng_p = StreamingEngine(scorer, make_fake_detector(1),
+                            device_resident=False, **kw)
+    # clip 8, early frac 0.5 → provisional window after 4 frames
+    for fr in _frames(5):
+        eng_r.step(fr)
+        eng_p.step(fr)
+    sr = eng_r.flush()
+    sp = eng_p.flush()
+    assert len(sr) == 1 and len(sp) == 1
+    assert sr[0][0] == sp[0][0]
+    np.testing.assert_allclose(sr[0][1], sp[0][1], atol=2e-3)
