@@ -46,6 +46,12 @@ class ClipTask:
     frame_start: int
     frame_end: int
     frame_ids: Optional[List[int]] = None  # per-frame source indices
+    # landmark-quality sentinel (VERDICT r3 #4): mean box-relative
+    # dense-vs-detector-lm5 agreement over the clip's frames (nan when no
+    # detector landmarks were available), and whether the track had been
+    # flagged (running agreement above models/facemesh.LM5_AGREEMENT_BOUND)
+    lm5_agreement: float = float("nan")
+    lm_flagged: bool = False
 
 
 class ClipWriter:
@@ -72,7 +78,8 @@ class ClipWriter:
             w = csv.writer(f)
             if f.tell() == 0:
                 w.writerow(["video", "track_id", "clip_idx", "frame_start",
-                            "frame_end", "n_frames", "path"])
+                            "frame_end", "n_frames", "path",
+                            "lm5_agreement", "lm_flagged"])
             w.writerows(self.rows)
         if self.errors:
             # write failures MUST be loud: a multi-hour production run on a
@@ -116,6 +123,7 @@ class ClipWriter:
                 self.rows.append([
                     task.video_rel, task.track_id, task.clip_idx,
                     task.frame_start, task.frame_end, len(task.images), d,
+                    round(task.lm5_agreement, 4), task.lm_flagged,
                 ])
             except Exception as e:  # keep draining
                 self.errors.append(f"{task.video_rel}/track_{task.track_id}: {e}")
@@ -132,6 +140,7 @@ class PreprocessPipeline:
         crop_size: Tuple[int, int] = CLIP_SIZE,
         au_every: int = 2,                                # AU cadence (reference: every other frame)
         track_kwargs: Optional[dict] = None,
+        lm_sentinel: bool = True,
     ):
         self.detect_fn = detect_fn
         self.au_extractor = au_extractor
@@ -140,6 +149,16 @@ class PreprocessPipeline:
         self.clip_step = clip_step
         self.crop_size = crop_size
         self.au_every = au_every
+        # landmark-quality sentinel (VERDICT r3 #4): per frame, check the
+        # dense landmarker's iris/mouth/nose against the DETECTOR's own
+        # 5-point landmarks (an independent, real-weights referee — the
+        # cross-model validation of tests/test_facemesh.py, productionized).
+        # A track whose running disagreement exceeds the measured bound is
+        # flagged: its dense landmarks stop being trusted (same downstream
+        # semantics as a landmarker failure — the reference gates clips on
+        # MediaPipe success too, preprocessing_parallel.py:321), and the
+        # agreement + flag are logged per clip in master_clip_log.csv.
+        self.lm_sentinel = lm_sentinel
         self.track_kwargs = track_kwargs or dict(
             track_thresh=0.5, match_thresh=0.8, track_buffer=30,
             split_low_scores=False,
@@ -155,6 +174,11 @@ class PreprocessPipeline:
 
         video_rel = video_rel or os.path.splitext(os.path.basename(video_path))[0]
         self._fid_buf: Dict[int, List[int]] = {}
+        # sentinel state: rolling agreement window, per-frame values aligned
+        # with img_buf (nan = no detector lm that frame), and flagged tids
+        self._agree_roll: Dict[int, List[float]] = {}
+        self._agr_buf: Dict[int, List[float]] = {}
+        self._lm_flagged: set = set()
         tracker = ByteTracker(**self.track_kwargs)
         img_buf: Dict[int, List[np.ndarray]] = {}
         au_buf: Dict[int, List[Optional[Dict]]] = {}
@@ -228,11 +252,41 @@ class PreprocessPipeline:
             for tr in live:
                 # tids excludes degenerate-box tracks; lms_now is keyed by
                 # exactly those, so this is the only membership that matters
-                if tr.track_id in lms_now:
+                if tr.track_id in lms_now and tr.track_id not in self._lm_flagged:
                     lm = self.landmarker(frame_rgb, tr.tlbr)
                     if lm is not None:
                         lms_now[tr.track_id] = np.asarray(lm, np.float32)
             perf["t_landmark"] += time.perf_counter() - t0
+
+        # landmark-quality sentinel: the detector's 5-point landmarks are an
+        # independent real-weights referee for the dense landmarker; a track
+        # whose rolling disagreement exceeds the calibrated bound is flagged
+        # and its dense landmarks are dropped from here on (clips gate on
+        # landmark completeness, mirroring the reference's MediaPipe-failure
+        # handling, preprocessing_parallel.py:321)
+        agr_now: Dict[int, float] = {}
+        if self.landmarker is not None and self.lm_sentinel:
+            from ..models.facemesh import (LM5_AGREEMENT_BOUND, LM5_DENSE_IDX,
+                                           lm5_agreement)
+
+            for tr in live:
+                tid = tr.track_id
+                pts = lms_now.get(tid)
+                if pts is None or pts.shape[0] <= max(LM5_DENSE_IDX):
+                    continue
+                row = _match_detection_row(rows, tr.tlbr)
+                if row is None:
+                    continue
+                a = lm5_agreement(pts, row[4:14].reshape(5, 2), row[2])
+                agr_now[tid] = a
+                roll = self._agree_roll.setdefault(tid, [])
+                roll.append(a)
+                del roll[:-30]
+                if len(roll) >= 3 and float(np.mean(roll)) > LM5_AGREEMENT_BOUND:
+                    self._lm_flagged.add(tid)
+            for tid in self._lm_flagged:
+                if lms_now.get(tid) is not None:
+                    lms_now[tid] = None
 
         for crop, tid in zip(faces, tids):
             img_buf.setdefault(tid, [])
@@ -245,9 +299,16 @@ class PreprocessPipeline:
                 lk["aus"] = aus_now[tid]
             if lms_now.get(tid) is not None:
                 lk["lm"] = lms_now[tid]
+            if tid in self._lm_flagged:
+                # flagged: stop trusting the dense landmarker for this track
+                # — also clears the last-known fill so stale points don't
+                # keep passing the clip completeness gate
+                lk["lm"] = None
             img_buf[tid].append(crop)
             au_buf[tid].append(lk["aus"])
             lm_buf[tid].append(lk["lm"])
+            self._agr_buf.setdefault(tid, []).append(
+                agr_now.get(tid, float("nan")))
 
             if len(img_buf[tid]) >= self.clip_length:
                 aus = [a for a in au_buf[tid][: self.clip_length] if a is not None]
@@ -257,6 +318,10 @@ class PreprocessPipeline:
                 if au_ok and lm_ok:
                     idx = counters.setdefault(tid, 0)
                     fids = self._fid_buf[tid][: self.clip_length]
+                    agr = np.asarray(
+                        self._agr_buf[tid][: self.clip_length], np.float64)
+                    agr_mean = (float(np.nanmean(agr))
+                                if np.isfinite(agr).any() else float("nan"))
                     writer.submit(ClipTask(
                         video_rel, tid, idx,
                         np.stack(img_buf[tid][: self.clip_length]),
@@ -264,12 +329,32 @@ class PreprocessPipeline:
                         au_buf[tid][: self.clip_length],
                         fids[0], fids[-1],   # true (possibly gapped) frame span
                         frame_ids=list(fids),
+                        lm5_agreement=agr_mean,
+                        lm_flagged=tid in self._lm_flagged,
                     ))
                     counters[tid] = idx + 1
                 img_buf[tid] = img_buf[tid][self.clip_step:]
                 au_buf[tid] = au_buf[tid][self.clip_step:]
                 lm_buf[tid] = lm_buf[tid][self.clip_step:]
                 self._fid_buf[tid] = self._fid_buf[tid][self.clip_step:]
+                self._agr_buf[tid] = self._agr_buf[tid][self.clip_step:]
+
+
+def _match_detection_row(rows: np.ndarray, tlbr) -> Optional[np.ndarray]:
+    """Best-IoU detection row for a track box (IoU > 0.5 required) — used to
+    pair the tracker's box with the detector's landmarks for the sentinel."""
+    if rows.size == 0:
+        return None
+    x1, y1, x2, y2 = [float(v) for v in tlbr[:4]]
+    rx1, ry1 = rows[:, 0], rows[:, 1]
+    rx2, ry2 = rows[:, 0] + rows[:, 2], rows[:, 1] + rows[:, 3]
+    iw = np.maximum(0.0, np.minimum(x2, rx2) - np.maximum(x1, rx1))
+    ih = np.maximum(0.0, np.minimum(y2, ry2) - np.maximum(y1, ry1))
+    inter = iw * ih
+    union = (x2 - x1) * (y2 - y1) + rows[:, 2] * rows[:, 3] - inter
+    iou = inter / np.maximum(union, 1e-9)
+    j = int(np.argmax(iou))
+    return rows[j] if iou[j] > 0.5 else None
 
 
 def already_processed(out_dir: str, video_rel: str) -> bool:
@@ -346,7 +431,8 @@ def main(argv=None):
 
     from ..models.yunet import YuNetTPU
 
-    detector = YuNetTPU(model_path=args.yunet_model, conf_threshold=args.det_conf)
+    kw = {"model_path": args.yunet_model} if args.yunet_model else {}
+    detector = YuNetTPU(conf_threshold=args.det_conf, **kw)
 
     def detect_fn(frame_bgr):
         from ..models.yunet import detect_scaled

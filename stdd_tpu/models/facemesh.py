@@ -50,6 +50,39 @@ N_POINTS = 478
 THETA_DIM = 6          # blink_l, blink_r, brow_l, brow_r, mouth_open, smile
 RIGID_DIM = 4          # log_scale, rotation, tx, ty  (crop-normalized)
 
+# dense-topology indices of the detector's 5 landmarks (MediaPipe topology):
+# iris centers 468/473, nose tip 1, mouth corners 61/291
+LM5_DENSE_IDX = (468, 473, 1, 61, 291)
+# Runtime landmark-quality sentinel threshold (VERDICT r3 #4): cross-model
+# agreement between this landmarker and the real-weights YuNet detector
+# measured 0.086 mean box-relative error on rendered faces (the undeformed
+# canonical prior scores 0.128) — tests/test_facemesh.py::
+# test_dense_landmarker_agrees_with_yunet_real_weights. Threshold =
+# measured bound + slack; per-track running means above it flag the track
+# (data/preprocess.py falls back to detector-lm5-only handling for it).
+LM5_AGREEMENT_BOUND = 0.15
+
+
+def lm5_agreement(pts: np.ndarray, lm5: np.ndarray, box_w: float) -> float:
+    """Box-relative disagreement between dense landmarks ``pts`` [478,2] and
+    a detector's 5-point set ``lm5`` [5,2] (YuNet order: eye, eye, nose tip,
+    mouth corner, mouth corner — both in the same pixel coordinates).
+    Eye and mouth pairs are matched order-free so the detector's left/right
+    convention cannot inflate the error. Returns the mean over the three
+    groups, normalized by ``box_w`` (the detection box width)."""
+    pts = np.asarray(pts, np.float32)
+    lm5 = np.asarray(lm5, np.float32)
+
+    def pair(a2, b2):
+        d1 = np.linalg.norm(a2[0] - b2[0]) + np.linalg.norm(a2[1] - b2[1])
+        d2 = np.linalg.norm(a2[0] - b2[1]) + np.linalg.norm(a2[1] - b2[0])
+        return min(d1, d2) / 2.0
+
+    i0, i1, nose, m0, m1 = LM5_DENSE_IDX
+    err = (pair(pts[[i0, i1]], lm5[:2]) + pair(pts[[m0, m1]], lm5[3:5])
+           + float(np.linalg.norm(pts[nose] - lm5[2])))
+    return float(err / (3.0 * max(float(box_w), 1e-6)))
+
 # face layout constants (unit box, x right / y down, frontal face)
 _OVAL_C = (0.50, 0.54)
 _OVAL_R = (0.36, 0.45)
@@ -526,15 +559,21 @@ class DenseLandmarker:
         return cls(variables=jax.tree.map(jnp.asarray, variables))
 
     @classmethod
-    def pretrained(cls) -> "DenseLandmarker":
-        """The packaged checkpoint (``assets/landmarker.pkl``, trained by
-        ``train/train_landmarker.py`` on the procedural face domain)."""
+    def pretrained_path(cls) -> str:
+        """Path of the packaged checkpoint (``assets/landmarker.pkl``)."""
         import os
 
-        path = os.path.join(
+        return os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "assets", "landmarker.pkl")
-        return cls.from_checkpoint(path)
+
+    @classmethod
+    def pretrained(cls) -> "DenseLandmarker":
+        """The packaged checkpoint (``assets/landmarker.pkl``, trained by
+        ``train/train_landmarker.py`` on the procedural face domain; bytes
+        pinned + provenance recorded in tests/test_facemesh.py::
+        test_pretrained_checkpoint_provenance_checksum)."""
+        return cls.from_checkpoint(cls.pretrained_path())
 
     def save(self, path: str) -> None:
         import pickle

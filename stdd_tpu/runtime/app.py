@@ -204,6 +204,16 @@ def main(argv=None):
                     help="ship a partial clip batch after this many frames "
                          "(default: stride — a 1-face call must not wait for "
                          "a full batch to see its first score); <=0 disables")
+    ap.add_argument("--no_stagger", dest="stagger", action="store_false",
+                    help="disable per-track window-phase staggering (on by "
+                         "default: co-appearing faces spread their stride "
+                         "ticks so n faces never dispatch n windows at once)")
+    ap.add_argument("--early_window", type=float, default=0.0, metavar="FRAC",
+                    help="dispatch one provisional window per new track once "
+                         "ceil(clip_size*FRAC) frames are buffered (padded "
+                         "with the newest frame, TEST2.py:358 semantics) — "
+                         "the first verdict lands in ~FRAC*clip_size frames "
+                         "instead of a full clip; 0 disables (default)")
     args = ap.parse_args(argv)
 
     from ..models.yunet import YuNetTPU
@@ -237,6 +247,8 @@ def main(argv=None):
     engine = StreamingEngine(
         scorer, detect_fn, cfg=cfg,
         max_batch_wait_frames=wait,
+        stagger_windows=args.stagger,
+        early_window_frac=args.early_window,
     )
     if args.warmup:
         # pre-compile the scorer for every batch capacity the engine can

@@ -68,6 +68,11 @@ class DispatchGroup:
         self._tick = 0
         # bounded: a never-reset serving root must not grow forever
         self.clip_latencies: Deque[float] = collections.deque(maxlen=10000)
+        # per-clip stage stamps (t_enq, t_queued, t_worker, t_shipped,
+        # t_fetch_start, t_done) — the window-latency budget decomposed:
+        # queue wait / pack+dispatch / device+poll / D2H fetch. Always-on
+        # (six floats per clip); bench reads percentiles for profiling.
+        self.latency_stages: Deque[tuple] = collections.deque(maxlen=10000)
         # in-flight async device batches: (seq, clips, device_probs,
         # t_dispatch); harvested strictly in dispatch order (seq) so
         # per-track score sequences are deterministic even when the two
@@ -159,6 +164,7 @@ class DispatchGroup:
             self.pending = []
             self._tick = 0
         self.clip_latencies = collections.deque(maxlen=10000)
+        self.latency_stages = collections.deque(maxlen=10000)
         self._next_seq = 0
         self._next_harvest_seq = 0
 
@@ -381,10 +387,15 @@ class DispatchGroup:
             try:
                 if item is None:
                     continue
+                import time
+
                 seq, batch, t0 = item
+                t_worker = time.perf_counter()
                 dev = self._score_batch(batch)
+                t_shipped = time.perf_counter()
                 with self._lock:
-                    self.inflight.append((seq, batch, dev, t0))
+                    self.inflight.append((seq, batch, dev, t0, t_worker,
+                                          t_shipped))
             except Exception as exc:
                 # a dead worker would deadlock every later _dispatch_q.join();
                 # keep the thread alive, drop the batch (a None sentinel so
@@ -401,7 +412,8 @@ class DispatchGroup:
                     owner._worker_error = exc
                 if item is not None:
                     with self._lock:
-                        self.inflight.append((item[0], [], None, item[2]))
+                        self.inflight.append((item[0], [], None, item[2],
+                                              item[2], item[2]))
             finally:
                 self._dispatch_q.task_done()
 
@@ -458,7 +470,7 @@ class DispatchGroup:
             # finishes first. When the pipeline is deeper than 2 batches the
             # head is force-taken (blocking) to bound device memory.
             entry = entries[0]
-            seq, batch, dev, t0 = entry
+            seq, batch, dev, t0, t_worker, t_shipped = entry
             if seq != self._next_harvest_seq:
                 # the true head batch is still being packed on a worker
                 break
@@ -476,6 +488,7 @@ class DispatchGroup:
                         break
                 except AttributeError:
                     pass
+            t_fetch_start = time.perf_counter()
             try:
                 probs = np.zeros((len(batch),), np.float32)
                 for idx, d in parts:
@@ -505,6 +518,9 @@ class DispatchGroup:
                 # per-clip enqueue→scored latency, the reference's
                 # clip_enqueue_t/clip_infer_t accounting (TEST2.py:316,440)
                 self.clip_latencies.append(now - (clip.t_enq or t0))
+                self.latency_stages.append(
+                    (clip.t_enq or t0, t0, t_worker, t_shipped,
+                     t_fetch_start, now))
                 owner = clip.owner or self.default_owner
                 if owner._gen != clip.owner_gen:
                     continue  # owner's stream was reset; stale score

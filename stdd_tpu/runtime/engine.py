@@ -267,7 +267,8 @@ class StreamingEngine:
     # (_worker_error is deliberately PER-engine: a failed batch's error is
     # routed to the streams that owned its clips, not to whoever harvests)
     _GROUP_ATTRS = frozenset(
-        ("pending", "inflight", "clip_latencies", "max_batch_wait_frames",
+        ("pending", "inflight", "clip_latencies", "latency_stages",
+         "max_batch_wait_frames",
          "_tick", "_next_seq", "_next_harvest_seq",
          "_lock", "_state_lock", "_harvest_lock", "_dispatch_q", "_workers",
          "_ring_kernels", "_ring_uploader")

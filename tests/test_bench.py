@@ -19,6 +19,16 @@ def test_bench_main_emits_contract_json(capsys):
         xm = out["extra_metrics"]
         assert xm["clips_per_s"] > 0
         assert xm["window_latency_p50_ms"] > 0
+        # latency budget decomposition (stage stamps are always recorded)
+        for k in ("lat_queue_p50_ms", "lat_dispatch_p50_ms",
+                  "lat_device_p50_ms", "lat_fetch_p50_ms"):
+            assert xm[k] >= 0.0
+        # self-certification: the timed windows program and the parity-
+        # tested packed program agree on one identical clip (f32 CPU config
+        # here; the on-chip bf16 run stays well under 1e-2)
+        assert xm["window_vs_packed_score_delta"] <= 5e-3
+        assert xm["multi_face_fps_4"] > 0
+        assert xm["multi_face_window_p50_ms"] > 0
 
 
 def test_bench_scene_frame_deterministic_under_canvas_reuse():

@@ -41,7 +41,14 @@ class _FakeAU:
 
 def _fake_landmarker(frame_rgb, tlbr):
     rng = np.random.RandomState(int(tlbr[0]) % 100)
-    return rng.uniform(0.2, 0.8, (478, 2)).astype(np.float32) * 100
+    pts = rng.uniform(0.2, 0.8, (478, 2)).astype(np.float32) * 100
+    # keep the sentinel's five referee points (iris/nose/mouth) consistent
+    # with _fake_detect's lm5 so the landmark-quality sentinel stays green
+    from stdd_tpu.models.facemesh import LM5_DENSE_IDX
+
+    lm5 = (STD_POINTS_256 * (60 / 256.0) + np.array([40, 30])).astype(np.float32)
+    pts[list(LM5_DENSE_IDX)] = lm5
+    return pts
 
 
 def test_pipeline_writes_clips(tmp_path):
@@ -157,3 +164,70 @@ def test_clip_frame_span_respects_detection_gaps(tmp_path):
         cv2.VideoCapture = orig
     # frames with detections: 0,1,2,5,6,7,8,9,10,11 → first clip of 8 spans 0..9
     assert spans and spans[0] == (0, 9)
+
+
+def test_lm_sentinel_logs_agreement_and_passes_good_landmarker(tmp_path):
+    """Landmark-quality sentinel (VERDICT r3 #4): with a landmarker whose
+    iris/mouth/nose agree with the detector's lm5, clips are written and
+    master_clip_log.csv carries a near-zero lm5_agreement column with
+    lm_flagged False."""
+    import csv
+
+    _write_video(str(tmp_path / "vids" / "a.mp4"))
+    pipe = PreprocessPipeline(_fake_detect, landmarker=_fake_landmarker,
+                              clip_length=8, clip_step=4)
+    logs = process_tree(pipe, str(tmp_path / "vids"), str(tmp_path / "out"))
+    assert logs[0]["clips"] == 5
+    with open(tmp_path / "out" / "master_clip_log.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 5
+    for r in rows:
+        assert float(r["lm5_agreement"]) < 0.02, r
+        assert r["lm_flagged"] == "False"
+    assert not pipe._lm_flagged
+
+
+def test_lm_sentinel_flags_disagreeing_landmarker(tmp_path):
+    """A landmarker whose points drift far from the detector's lm5 referee
+    is flagged after the rolling window fills; its dense landmarks stop
+    being trusted, so clips gate out on landmark completeness (the same
+    downstream semantics as a landmarker failure — reference
+    preprocessing_parallel.py:321)."""
+    from stdd_tpu.models.facemesh import LM5_AGREEMENT_BOUND
+
+    def bad_landmarker(frame_rgb, tlbr):
+        pts = _fake_landmarker(frame_rgb, tlbr)
+        return pts + 0.5 * 60.0   # ~0.5 box-widths off: far past the bound
+
+    _write_video(str(tmp_path / "vids" / "a.mp4"))
+    pipe = PreprocessPipeline(_fake_detect, landmarker=bad_landmarker,
+                              clip_length=8, clip_step=4)
+    logs = process_tree(pipe, str(tmp_path / "vids"), str(tmp_path / "out"))
+    assert pipe._lm_flagged == {1}
+    # flagged at frame 3 (rolling min count) → last-known cleared → the
+    # 8-frame completeness gate never passes → no clips written
+    assert logs[0]["clips"] == 0
+
+    # sentinel off: the same landmarker sails through (legacy behavior)
+    pipe2 = PreprocessPipeline(_fake_detect, landmarker=bad_landmarker,
+                               clip_length=8, clip_step=4, lm_sentinel=False)
+    logs2 = process_tree(pipe2, str(tmp_path / "vids"), str(tmp_path / "out2"))
+    assert logs2[0]["clips"] == 5
+    assert not pipe2._lm_flagged
+
+
+def test_lm5_agreement_order_free_and_scaled():
+    """lm5_agreement: zero on exact placement regardless of the detector's
+    eye/mouth left-right order, scales inversely with box width."""
+    from stdd_tpu.models.facemesh import LM5_DENSE_IDX, lm5_agreement
+
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(0, 100, (478, 2)).astype(np.float32)
+    lm5 = pts[list(LM5_DENSE_IDX)].copy()
+    assert lm5_agreement(pts, lm5, 60.0) == 0.0
+    swapped = lm5[[1, 0, 2, 4, 3]]       # flip both pairs
+    assert lm5_agreement(pts, swapped, 60.0) == 0.0
+    off = lm5 + np.array([6.0, 0.0], np.float32)   # uniform 6px shift
+    a60 = lm5_agreement(pts, off, 60.0)
+    a120 = lm5_agreement(pts, off, 120.0)
+    assert abs(a60 - 0.1) < 1e-6 and abs(a120 - 0.05) < 1e-6
