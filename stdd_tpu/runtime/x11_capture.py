@@ -157,6 +157,8 @@ class X11Connection:
         self._parse_setup(body, screen_idx)
 
     def _parse_setup(self, b: bytes, screen_idx: int) -> None:
+        self.resource_id_base, self.resource_id_mask = struct.unpack_from("<II", b, 4)
+        self._next_rid = 0
         (vendor_len,) = struct.unpack_from("<H", b, 16)
         n_formats = b[21]
         self.image_byte_order = b[22]  # 0 = LSB-first, 1 = MSB-first
@@ -188,6 +190,17 @@ class X11Connection:
                 self.root_visual = root_visual
                 self.root_depth = root_depth
                 self.screen_size = (w, h)
+
+    def alloc_resource_id(self) -> int:
+        """Next client resource id (XID) from the setup-assigned range.
+
+        Capture itself never creates server resources; this exists so
+        integration tests can create/draw real windows through the same
+        connection (tests/test_x11_xvfb.py against a live Xvfb)."""
+        shift = (self.resource_id_mask & -self.resource_id_mask).bit_length() - 1
+        rid = self.resource_id_base | ((self._next_rid << shift) & self.resource_id_mask)
+        self._next_rid += 1
+        return rid
 
     # -- request/reply plumbing --
 

@@ -1,0 +1,194 @@
+"""Integration test: the raw-wire X11 capture client against a REAL X server.
+
+tests/test_x11_capture.py pins the client to an in-process mock that speaks
+the same encoding the client does — which can't catch a shared misreading of
+the protocol (pad rules, byte order, visual masks). This test starts a real
+Xvfb, creates and maps a real window, draws a known pattern into it with
+PutImage (encoded from the server's OWN advertised pixel format), then
+captures it back through the production `get_image` path and asserts exact
+pixels. Skips cleanly when Xvfb is not installed (this rig has no X server).
+
+Reference analogue: `test/win_capture.py:18` exercises _capture_hwnd against
+the live Win32 PrintWindow, not a mock.
+"""
+
+import shutil
+import struct
+import subprocess
+import time
+
+import numpy as np
+import pytest
+
+from stdd_tpu.runtime.x11_capture import (
+    X11Connection,
+    _pad4,
+    find_window_by_title,
+)
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("Xvfb") is None, reason="Xvfb not installed on this rig"
+)
+
+_OP_CREATE_WINDOW = 1
+_OP_MAP_WINDOW = 8
+_OP_CHANGE_PROPERTY = 18
+_OP_CREATE_GC = 55
+_OP_PUT_IMAGE = 72
+_ATOM_WM_NAME = 39  # predefined
+_ATOM_STRING = 31  # predefined
+_CW_BACK_PIXEL = 0x00000002
+
+
+@pytest.fixture(scope="module")
+def xvfb_display():
+    """Start Xvfb on a free display; yield ':N'."""
+    for num in range(99, 120):
+        proc = subprocess.Popen(
+            ["Xvfb", f":{num}", "-screen", "0", "320x240x24", "-ac", "-nolisten", "tcp"],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        sock_path = f"/tmp/.X11-unix/X{num}"
+        deadline = time.time() + 10.0
+        import os
+
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                break  # display taken / failed — try the next number
+            if os.path.exists(sock_path):
+                try:
+                    yield f":{num}"
+                finally:
+                    proc.terminate()
+                    proc.wait(timeout=10)
+                return
+            time.sleep(0.05)
+        if proc.poll() is None:
+            proc.terminate()
+            proc.wait(timeout=10)
+    pytest.skip("could not start Xvfb on any display :99-:119")
+
+
+@pytest.fixture
+def conn(xvfb_display, monkeypatch, tmp_path):
+    # Xvfb runs with -ac (no access control); make sure a stale ~/.Xauthority
+    # cookie for some other server is never sent.
+    monkeypatch.setenv("XAUTHORITY", str(tmp_path / "no_such_xauthority"))
+    c = X11Connection(display=xvfb_display)
+    yield c
+    c.close()
+
+
+def _void(conn, opcode, data_byte, body):
+    conn._request(opcode, data_byte, body)
+
+
+def _sync(conn):
+    """Round-trip so queued void-request errors surface (X errors raise
+    inside `_reply`)."""
+    conn.get_geometry(conn.root)
+
+
+def _encode_zpixmap(conn, bgr):
+    """Encode BGR uint8 [h,w,3] into the server's advertised ZPixmap layout
+    (root depth / bits-per-pixel / scanline pad / byte order / visual masks)
+    — the mirror of the client's decode path, built only from setup data."""
+    h, w = bgr.shape[:2]
+    depth = conn.root_depth
+    bpp, scan_pad = conn._formats[depth]
+    vis = conn._visuals[conn.root_visual]
+
+    def place(mask, chan):
+        shift = (mask & -mask).bit_length() - 1
+        return (chan.astype(np.uint32) << np.uint32(shift)) & np.uint32(mask)
+
+    words = (
+        place(vis.blue_mask, bgr[:, :, 0])
+        | place(vis.green_mask, bgr[:, :, 1])
+        | place(vis.red_mask, bgr[:, :, 2])
+    )
+    stride = ((w * bpp + scan_pad - 1) // scan_pad) * scan_pad // 8
+    rows = np.zeros((h, stride), np.uint8)
+    order = "<u4" if conn.image_byte_order == 0 else ">u4"
+    if bpp == 32:
+        rows[:, : w * 4] = words.astype(order).view(np.uint8).reshape(h, w * 4)
+    elif bpp == 24:
+        by = words.astype(order).view(np.uint8).reshape(h, w, 4)
+        by = by[:, :, :3] if conn.image_byte_order == 0 else by[:, :, 1:]
+        rows[:, : w * 3] = by.reshape(h, w * 3)
+    else:  # pragma: no cover — Xvfb at x24 advertises 24/32 bpp
+        pytest.skip(f"unsupported server bpp {bpp}")
+    return rows.tobytes(), depth
+
+
+def _create_window(conn, w, h, title):
+    wid = conn.alloc_resource_id()
+    body = struct.pack(
+        "<IIhhHHHHII",
+        wid, conn.root, 10, 10, w, h,
+        0,  # border width
+        1,  # class InputOutput
+        0,  # visual CopyFromParent
+        _CW_BACK_PIXEL,
+    ) + struct.pack("<I", 0)
+    _void(conn, _OP_CREATE_WINDOW, 0, body)  # depth CopyFromParent
+    name = title.encode()
+    prop = (
+        struct.pack("<IIIB3xI", wid, _ATOM_WM_NAME, _ATOM_STRING, 8, len(name))
+        + name + b"\0" * _pad4(len(name))
+    )
+    _void(conn, _OP_CHANGE_PROPERTY, 0, prop)  # mode Replace
+    _void(conn, _OP_MAP_WINDOW, 0, struct.pack("<I", wid))
+    _sync(conn)
+    deadline = time.time() + 5.0
+    while conn.get_window_attributes_map_state(wid) != 2:
+        assert time.time() < deadline, "window never became viewable"
+        time.sleep(0.02)
+    return wid
+
+
+def _draw_pattern(conn, wid, bgr):
+    h, w = bgr.shape[:2]
+    gc = conn.alloc_resource_id()
+    _void(conn, _OP_CREATE_GC, 0, struct.pack("<III", gc, wid, 0))
+    data, depth = _encode_zpixmap(conn, bgr)
+    body = (
+        struct.pack("<IIHHhhBB2x", wid, gc, w, h, 0, 0, 0, depth)
+        + data + b"\0" * _pad4(len(data))
+    )
+    _void(conn, _OP_PUT_IMAGE, 2, body)  # format ZPixmap
+    _sync(conn)
+
+
+def test_roundtrip_known_pattern(conn):
+    """Draw a deterministic pattern, capture through the production decode
+    path, assert exact pixels — byte order, stride pad and masks included."""
+    rng = np.random.RandomState(0)
+    # odd width so a 24-bpp server would exercise scanline padding
+    bgr = rng.randint(0, 256, (37, 61, 3), np.uint8)
+    wid = _create_window(conn, 61, 37, "stdd xvfb roundtrip")
+    _draw_pattern(conn, wid, bgr)
+    got = conn.get_image(wid, 0, 0, 61, 37)
+    assert got.shape == (37, 61, 3)
+    assert np.array_equal(got, bgr)
+
+
+def test_find_window_by_title_real_server(conn):
+    """Title-substring find (win_capture.py:121 semantics) on a real tree."""
+    bgr = np.full((20, 30, 3), 200, np.uint8)
+    wid = _create_window(conn, 30, 20, "Teams meeting xvfb")
+    _draw_pattern(conn, wid, bgr)
+    found = find_window_by_title(conn, ["teams meeting"])
+    assert found == wid
+    frame = conn.get_image(found, 0, 0, 30, 20)
+    assert np.array_equal(frame, bgr)
+
+
+def test_subrectangle_capture(conn):
+    """GetImage of an interior rect must match the pattern slice exactly."""
+    rng = np.random.RandomState(3)
+    bgr = rng.randint(0, 256, (48, 64, 3), np.uint8)
+    wid = _create_window(conn, 64, 48, "stdd subrect")
+    _draw_pattern(conn, wid, bgr)
+    got = conn.get_image(wid, 7, 5, 33, 21)
+    assert np.array_equal(got, bgr[5 : 5 + 21, 7 : 7 + 33])
