@@ -1,0 +1,224 @@
+"""On-chip evidence that trainer + checkpoint + precise-BN compose at scale.
+
+VERDICT r3 #6: round-3's convergence sanity was 100 steps at one shape. This
+runs the FULL multigrid long-cycle schedule (`train/multigrid.py`, the
+reference's slowfast/utils/multigrid.py:13 rebuild) end to end on
+device-generated separable data — real = temporally-smooth clips, fake = the
+same frames time-shuffled, the exact signal the temporal kernels exist to
+catch — with a checkpoint save + restore-into-a-fresh-state MID-schedule
+(preemption drill; restore is asserted bitwise) and a precise-BN recompute at
+the end (`bn_helper.py:11` semantics). Reports steps/s per long-cycle shape
+and the held-out AUC (expect > 0.95 on separable data).
+
+Data never crosses the host boundary: each batch is generated inside jit on
+the device (a float32 clip batch is 154 MB — the axon relay moves ~25 MB/s).
+
+Usage:  timeout 2400 python scripts/measure_train_epoch.py [--steps_per_epoch 8]
+Prints one JSON line; paste into docs/PERF.md.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps_per_epoch", type=int, default=8,
+                    help="steps per schedule epoch (device time ~0.11 s/step)")
+    ap.add_argument("--base_lr", type=float, default=0.02)
+    ap.add_argument("--alter_freq", type=int, default=20)
+    ap.add_argument("--precise_bn_batches", type=int, default=8)
+    ap.add_argument("--eval_batches", type=int, default=8)
+    ap.add_argument("--out", default="/tmp/stdd_train_epoch")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny config on CPU — validates the harness only")
+    args = ap.parse_args()
+
+    sys.path.insert(0, ".")
+    from bench import tpu_available
+
+    if args.smoke or not tpu_available(120):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")  # sitecustomize pins axon
+        args.smoke = True
+
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    os.makedirs("/tmp/jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from stdd_tpu.config import I3DConfig
+    from stdd_tpu.models.i3d import I3D
+    from stdd_tpu.train.engine_i3d import (
+        I3DTrainArgs, init_i3d_training, precise_bn_update)
+    from stdd_tpu.train.metrics import metrics_from_logits
+    from stdd_tpu.train.multigrid import MultigridConfig, MultigridSchedule
+    from stdd_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    if args.smoke:
+        mg = MultigridConfig(default_b=2, default_t=8, default_s=32,
+                             solver_steps=(0, 2, 3), solver_max_epoch=4,
+                             epoch_factor=1.0)
+        cfg = I3DConfig(num_frames=8, crop_size=32)
+        dtype = jnp.float32
+    else:
+        # the production schedule at the production shape; s2d stem as the
+        # trainer auto-enables on accelerators (run_i3d.py)
+        mg = MultigridConfig()
+        cfg = I3DConfig(num_frames=32, crop_size=224, s2d_stem=True)
+        dtype = jnp.bfloat16
+    sched = MultigridSchedule(mg)
+    epochs = sched.max_epoch
+    model = I3D(cfg=cfg, dtype=dtype)
+
+    targs = I3DTrainArgs(
+        base_lr=args.base_lr, max_epoch=epochs, warmup_epochs=2.0,
+        warmup_start_lr=args.base_lr / 4, alter_freq=args.alter_freq,
+        steps_per_epoch=args.steps_per_epoch, grad_clip=1.0, seed=0)
+    sample = jnp.zeros((1, cfg.num_frames, cfg.crop_size, cfg.crop_size, 3))
+    state, step_fn, _ = init_i3d_training(model, targs, sample)
+
+    # -- device-side separable data: real = smooth temporal signal over a
+    # fixed spatial pattern; fake = the SAME frames, time-shuffled ----------
+    def make_gen(B, T, S):
+        @jax.jit
+        def gen(key):
+            kp, ko, kf, kn, kl, ks = jax.random.split(key, 6)
+            pattern = jax.random.normal(kp, (B, 1, S, S, 3))
+            omega = jax.random.uniform(ko, (B, 1, 1, 1, 1), minval=0.3, maxval=1.0)
+            phase = jax.random.uniform(kf, (B, 1, 1, 1, 1), maxval=2 * np.pi)
+            t = jnp.arange(T, dtype=jnp.float32).reshape(1, T, 1, 1, 1)
+            real = (pattern * jnp.sin(phase + omega * t)
+                    + 0.05 * jax.random.normal(kn, (B, T, S, S, 3)))
+            fake = jnp.take_along_axis(
+                real,
+                jax.vmap(lambda k: jax.random.permutation(k, T))(
+                    jax.random.split(ks, B))[:, :, None, None, None],
+                axis=1)
+            y = (jax.random.uniform(kl, (B,)) < 0.5)
+            clips = jnp.where(y[:, None, None, None, None], fake, real)
+            return clips, y.astype(jnp.float32)
+        return gen
+
+    gens = {}
+    rng = jax.random.PRNGKey(0)
+    shape_times = {}      # (B,T,S) -> [seconds per step, post-compile]
+    shape_compile = {}
+    losses, accs = [], []
+    resume_report = None
+    # the preemption drill fires mid-way through the final fine-tune phase
+    # (rounding in tiny smoke schedules can leave that phase empty of
+    # epochs — drill on the last epoch then)
+    drill_epoch = next((e for e in range(epochs)
+                        if sched.long_cycle_shape(e) == sched.schedule[-1][1]),
+                       epochs - 1)
+
+    step_i = 0
+    for epoch in range(epochs):
+        bf, T, S = sched.long_cycle_shape(epoch)
+        B = bf * mg.default_b
+        key = (B, T, S)
+        if key not in gens:
+            gens[key] = make_gen(B, T, S)
+        gen = gens[key]
+        for it in range(args.steps_per_epoch):
+            if epoch == drill_epoch and it == args.steps_per_epoch // 2:
+                # -- preemption drill: save, rebuild EVERYTHING fresh,
+                # restore, assert bitwise, continue -----------------------
+                path = save_checkpoint(
+                    args.out, "i3d_mg", epoch,
+                    {"params": state.params, "batch_stats": state.batch_stats,
+                     "opt_state": state.opt_state,
+                     "step": np.asarray(state.step)})
+                fresh, step_fn, _ = init_i3d_training(
+                    model, targs, jnp.zeros((1, cfg.num_frames, cfg.crop_size,
+                                             cfg.crop_size, 3)))
+                tree = load_checkpoint(path, {
+                    "params": fresh.params, "batch_stats": fresh.batch_stats,
+                    "opt_state": fresh.opt_state,
+                    "step": np.asarray(fresh.step)})
+                restored = fresh.__class__(
+                    tree["params"], tree["batch_stats"], tree["opt_state"],
+                    jnp.asarray(tree["step"]))
+                same = all(
+                    bool(np.array_equal(np.asarray(a), np.asarray(b)))
+                    for a, b in zip(jax.tree.leaves((state.params,
+                                                     state.opt_state,
+                                                     state.batch_stats)),
+                                    jax.tree.leaves((restored.params,
+                                                     restored.opt_state,
+                                                     restored.batch_stats))))
+                resume_report = {"epoch": epoch, "step": int(state.step),
+                                 "bitwise_identical": same}
+                state = restored
+            rng, sub = jax.random.split(rng)
+            clips, y = gen(sub)
+            t0 = time.perf_counter()
+            state, m = step_fn(state, clips, y, rng)
+            loss = float(m["loss"])  # honest host fetch ends the step
+            dt = time.perf_counter() - t0
+            if it == 0 and key not in shape_times:
+                shape_compile[key] = dt
+                shape_times[key] = []
+            else:
+                shape_times[key].append(dt)
+            losses.append(loss)
+            accs.append(float(m["acc"]))
+            step_i += 1
+        print(json.dumps({"epoch": epoch, "shape": [B, T, S],
+                          "loss": round(losses[-1], 4),
+                          "acc": round(accs[-1], 3)}), file=sys.stderr)
+
+    # -- precise-BN over fresh base-shape batches (bn_helper.py:11) ---------
+    bf, T, S = sched.schedule[-1][1]
+    B = bf * mg.default_b
+    gen = gens.get((B, T, S)) or make_gen(B, T, S)
+    pb_keys = [jax.random.fold_in(jax.random.PRNGKey(1), i)
+               for i in range(args.precise_bn_batches)]
+    state = precise_bn_update(model, state, (gen(k)[0] for k in pb_keys))
+
+    # -- held-out eval -------------------------------------------------------
+    eval_fwd = jax.jit(lambda p, bs, c: model.apply(
+        {"params": p, "batch_stats": bs}, c, train=False))
+    logits, ys = [], []
+    for i in range(args.eval_batches):
+        clips, y = gen(jax.random.fold_in(jax.random.PRNGKey(2), i))
+        logits.append(np.asarray(eval_fwd(state.params, state.batch_stats,
+                                          clips))[:, 0])
+        ys.append(np.asarray(y))
+    vm = metrics_from_logits(np.concatenate(logits), np.concatenate(ys))
+
+    def spb(v):  # median steps/s
+        return round(1.0 / float(np.median(v)), 2) if v else None
+
+    print(json.dumps({
+        "metric": "multigrid_long_cycle_epoch",
+        "smoke_cpu": bool(args.smoke),
+        "schedule_epochs": epochs,
+        "steps_per_epoch": args.steps_per_epoch,
+        "total_steps": step_i,
+        "shapes": [
+            {"shape": list(k), "steps_per_s": spb(v),
+             "ms_per_step": round(1000 * float(np.median(v)), 1) if v else None,
+             "clips_per_s": round(k[0] / float(np.median(v)), 1) if v else None,
+             "first_step_s": round(shape_compile[k], 1)}
+            for k, v in shape_times.items()],
+        "loss_first5": [round(x, 4) for x in losses[:5]],
+        "loss_last5": [round(x, 4) for x in losses[-5:]],
+        "acc_last5": [round(x, 3) for x in accs[-5:]],
+        "resume_drill": resume_report,
+        "eval_auc_after_precise_bn": round(float(vm["roc_auc"]), 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
