@@ -1,0 +1,71 @@
+"""Smoke the measurement harnesses' JSON contracts (CPU --smoke mode).
+
+The scripts under scripts/ are the round's on-hardware evidence generators
+(VERDICT r3 #2/#6/#9); each must emit ONE parseable JSON line whose fields
+PERF.md quotes. These tests run the tiny CPU configs — they validate the
+harness plumbing, not the numbers.
+"""
+
+import importlib.util
+import json
+import sys
+from pathlib import Path
+
+SCRIPTS = Path(__file__).resolve().parents[1] / "scripts"
+
+
+def _run_script(name, argv, capsys):
+    spec = importlib.util.spec_from_file_location(name, SCRIPTS / f"{name}.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    old = sys.argv
+    sys.argv = [name] + argv
+    try:
+        mod.main()
+    finally:
+        sys.argv = old
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def test_measure_int8_contract(capsys):
+    out = _run_script("measure_int8", ["--smoke", "--reps", "1"], capsys)
+    assert out["metric"] == "int8_s3s5_ab"
+    assert out["smoke_cpu"] is True
+    (row,) = out["rows"]
+    assert row["bf16_ms"] > 0 and row["int8_s3s5_ms"] > 0
+    assert row["speedup_x"] > 0
+    # dynamic-quant drift on a tiny f32 model stays a valid probability gap
+    assert 0.0 <= row["max_prob_drift"] <= 1.0
+
+
+def test_measure_first_verdict_contract(capsys):
+    out = _run_script(
+        "measure_first_verdict",
+        ["--smoke", "--reps", "1", "--fracs", "0.0", "0.25"], capsys)
+    assert out["metric"] == "first_verdict_latency"
+    assert out["smoke_cpu"] is True
+    rows = {r["early_window_frac"]: r for r in out["rows"]}
+    assert set(rows) == {0.0, 0.25}
+    for r in rows.values():
+        assert r["reps_ok"] == 1
+        assert r["first_verdict_frames_median"] > 0
+        assert r["first_verdict_ms_median_30fps"] > 0
+    # the provisional window must strictly beat the full-clip first verdict
+    assert (rows[0.25]["first_verdict_frames_median"]
+            < rows[0.0]["first_verdict_frames_median"])
+
+
+def test_measure_train_epoch_contract(capsys, tmp_path):
+    out = _run_script(
+        "measure_train_epoch",
+        ["--smoke", "--steps_per_epoch", "2", "--precise_bn_batches", "2",
+         "--eval_batches", "2", "--out", str(tmp_path)], capsys)
+    assert out["metric"] == "multigrid_long_cycle_epoch"
+    assert out["smoke_cpu"] is True
+    assert out["total_steps"] == 2 * out["schedule_epochs"]
+    assert out["resume_drill"] is not None
+    assert out["resume_drill"]["bitwise_identical"] is True
+    for s in out["shapes"]:
+        assert (s["steps_per_s"] is None) == (s["ms_per_step"] is None)
+    assert 0.0 <= out["eval_auc_after_precise_bn"] <= 1.0
