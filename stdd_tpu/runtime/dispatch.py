@@ -393,9 +393,28 @@ class DispatchGroup:
                 t_worker = time.perf_counter()
                 dev = self._score_batch(batch)
                 t_shipped = time.perf_counter()
+                if self.device_resident:
+                    # Ring mode: materialize the probs HERE, on the lane
+                    # thread, and route immediately. Harvesting only from
+                    # the stepping thread quantizes window latency to the
+                    # step cadence and pays a separate D2H round trip
+                    # through the relay (~27 ms measured); a window batch
+                    # is kilobytes, so blocking this lane for the device
+                    # compute costs nothing at streaming clip rates and
+                    # the second lane keeps dispatching. The packed-upload
+                    # path stays async: its lanes pipeline multi-second
+                    # H2D uploads and must not serialize behind fetches.
+                    parts = (dev if isinstance(dev, list)
+                             else [(range(len(batch)), dev)])
+                    dev = [(idx, np.asarray(d)) for idx, d in parts]
                 with self._lock:
                     self.inflight.append((seq, batch, dev, t0, t_worker,
                                           t_shipped))
+                if self.device_resident:
+                    # route now if this batch is the FIFO head (strict seq
+                    # order is still enforced inside harvest); owners see
+                    # the score at their next step() without an extra tick
+                    self.harvest(block=False)
             except Exception as exc:
                 # a dead worker would deadlock every later _dispatch_q.join();
                 # keep the thread alive, drop the batch (a None sentinel so
