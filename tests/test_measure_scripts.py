@@ -56,6 +56,19 @@ def test_measure_first_verdict_contract(capsys):
             < rows[0.0]["first_verdict_frames_median"])
 
 
+def test_measure_paced_latency_contract(capsys):
+    out = _run_script(
+        "measure_paced_latency",
+        ["--smoke", "--seconds", "4", "--faces", "1"], capsys)
+    assert out["metric"] == "paced_window_latency"
+    assert out["smoke_cpu"] is True
+    (row,) = out["rows"]
+    assert row["faces"] == 1
+    assert row["clips_scored"] > 0
+    assert row["paced_window_p50_ms"] > 0
+    assert row["paced_window_p95_ms"] >= row["paced_window_p50_ms"]
+
+
 def test_measure_train_epoch_contract(capsys, tmp_path):
     out = _run_script(
         "measure_train_epoch",
