@@ -413,8 +413,20 @@ class DispatchGroup:
                 if self.device_resident:
                     # route now if this batch is the FIFO head (strict seq
                     # order is still enforced inside harvest); owners see
-                    # the score at their next step() without an extra tick
-                    self.harvest(block=False)
+                    # the score at their next step() without an extra tick.
+                    # Own try: the batch is already in `inflight`, so the
+                    # outer handler's seq sentinel must NOT fire for a
+                    # routing failure — a duplicate seq entry behind the
+                    # advanced cursor would wedge the FIFO head check
+                    try:
+                        self.harvest(block=False)
+                    except Exception as exc:
+                        import traceback
+
+                        traceback.print_exc()
+                        for owner in {c.owner or self.default_owner
+                                      for c in batch} or {self.default_owner}:
+                            owner._worker_error = exc
             except Exception as exc:
                 # a dead worker would deadlock every later _dispatch_q.join();
                 # keep the thread alive, drop the batch (a None sentinel so
