@@ -19,9 +19,23 @@ def bce_with_logits(
     pos_weight: Optional[float] = None,
     reduction: str = "mean",
 ) -> jnp.ndarray:
-    """Numerically stable binary cross entropy on raw logits."""
+    """Numerically stable binary cross entropy on raw logits.
+
+    Shape-strict like torch's ``binary_cross_entropy_with_logits``: a
+    trailing singleton class dim on ``logits`` (a Dense(1) head) is squeezed
+    against 1-lower-rank targets; any other mismatch raises instead of
+    broadcasting. A silent (B,1)×(B,) broadcast turns the loss into a (B,B)
+    matrix whose gradient trains the model to predict the batch BASE RATE —
+    caught on-chip as AUC ~0.5 after 1350 separable-data steps (round 4)."""
     logits = logits.astype(jnp.float32)
     targets = targets.astype(jnp.float32)
+    if logits.ndim == targets.ndim + 1 and logits.shape[-1] == 1:
+        logits = logits[..., 0]
+    if logits.shape != targets.shape:
+        raise ValueError(
+            f"bce_with_logits: logits {logits.shape} vs targets "
+            f"{targets.shape} must match (torch semantics — no broadcasting)"
+        )
     per = jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
     if pos_weight is not None:
         w = jnp.where(targets == 1, pos_weight, 1.0)
@@ -41,7 +55,11 @@ def binary_focal_loss(
     reduction: str = "mean",
 ) -> jnp.ndarray:
     """(1-p_t)^γ-modulated BCE with optional α class weighting
-    (losses.py:95 BinaryFocalLoss)."""
+    (losses.py:95 BinaryFocalLoss). Same shape strictness as
+    :func:`bce_with_logits` (the modulation term would silently broadcast a
+    (B,1) head against (B,) targets otherwise)."""
+    if logits.ndim == targets.ndim + 1 and logits.shape[-1] == 1:
+        logits = logits[..., 0]
     targets = targets.astype(jnp.float32)
     bce = bce_with_logits(logits, targets, reduction="none")
     p = jax.nn.sigmoid(logits.astype(jnp.float32))
