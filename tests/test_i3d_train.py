@@ -114,3 +114,45 @@ def test_tolerant_merge():
     np.testing.assert_array_equal(merged["enc"]["b"], np.zeros(2))
     assert "enc/b" in report["shape_mismatch"]
     assert "head/w" in report["missing"]
+
+
+def test_i3d_altfreeze_trains_on_trivial_cue():
+    """End-to-end learnability: the jitted AltFreezing step must actually
+    fit a trivially separable signal (a constant brightness offset on the
+    fake class). This is the test that was missing for three rounds while a
+    silent (B,1)x(B,) loss broadcast trained the model to predict the batch
+    base rate — mechanics tests (alternation, masks, checkpoints) all
+    passed while the trainer could not learn ANYTHING (see
+    tests/test_losses.py and docs/PERF.md round-4 convergence notes)."""
+    import numpy as np
+
+    from stdd_tpu.config import I3DConfig
+    from stdd_tpu.models.i3d import I3D
+    from stdd_tpu.train.engine_i3d import I3DTrainArgs, init_i3d_training
+
+    B, T, S = 8, 4, 32
+    model = I3D(cfg=I3DConfig(num_frames=T, crop_size=S), dtype=jnp.float32)
+    targs = I3DTrainArgs(base_lr=0.01, max_epoch=4, warmup_epochs=0.25,
+                         warmup_start_lr=0.002, alter_freq=10,
+                         steps_per_epoch=20, grad_clip=1.0, seed=0)
+    state, step_fn, _ = init_i3d_training(model, targs,
+                                          jnp.zeros((1, T, S, S, 3)))
+
+    @jax.jit
+    def gen(key):
+        kn, kl = jax.random.split(key)
+        clips = 0.1 * jax.random.normal(kn, (B, T, S, S, 3))
+        y = (jax.random.uniform(kl, (B,)) < 0.5)
+        clips = clips + 0.5 * y[:, None, None, None, None]
+        return clips, y.astype(jnp.float32)
+
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(60):
+        rng, sub = jax.random.split(rng)
+        clips, y = gen(sub)
+        state, m = step_fn(state, clips, y, rng)
+        losses.append(float(m["loss"]))
+    # chance is 0.693; base-rate prediction can NEVER go below ~0.55 on
+    # balanced batches, while real learning drives this toward 0
+    assert np.mean(losses[-10:]) < 0.35, np.mean(losses[-10:])
