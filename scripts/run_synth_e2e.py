@@ -1,0 +1,215 @@
+"""End-to-end synthetic benchmark: the COMPLETE production workflow on one
+self-contained, reproducible dataset.
+
+The rig has no real face footage (zero egress), so accuracy evidence has so
+far lived in per-component oracle tests plus separable-data trainer runs.
+This script composes the WHOLE pipeline the way a user would, through the
+shipped CLIs, ending in an honest video AUC:
+
+  1. **Render** a video benchmark: real = smooth procedural talking heads
+     (``eval/bench_scene.BenchScene``); fake = the SAME identity/motion/style
+     with the talking loop temporally scrambled (``expr_order`` permutation).
+     Real/fake pairs share seeds, so identity, geometry and photometrics are
+     identical across classes — the ONLY separating signal is temporal
+     incoherence, the cue AltFreezing's temporal kernels exist to catch.
+     Detection/tracking cannot shortcut (head position is smooth in both).
+  2. **Preprocess** via the ``stdd_tpu.data.preprocess`` CLI: YuNet detect →
+     ByteTrack → per-track 8-frame clip tree (the reference's
+     ``preprocessing_parallel.py`` workflow).
+  3. **Train** via the ``stdd_tpu.train.run_i3d`` CLI: AltFreezing I3D
+     (alternating temporal/spatial masking, warmup-cosine SGD, precise-BN,
+     epoch checkpoints) on the clip tree.
+  4. **Evaluate** via the ``stdd_tpu.eval.harness`` CLI serving the JAX
+     checkpoint (``--jax_ckpt``) over HELD-OUT videos (disjoint seeds =
+     unseen identities/motions) → per_video.csv / summary.csv and the video
+     AUC (the reference's ``TEST2.py`` workflow).
+
+Note the deliberate domain gap between phases 2/3 and 4: training clips are
+plain resized detector-box crops (the preprocess writer's semantics,
+``preprocessing_parallel.py:270``), while serving aligns big-box crops with
+the similarity warp. The temporal cue survives both, which is the point —
+the capstone checks the SYSTEM composes, not that the domains were matched.
+
+Usage:  timeout 3600 python scripts/run_synth_e2e.py [--smoke] [--out DIR]
+Prints one JSON line; paste the result into docs/PERF.md.
+"""
+
+import argparse
+import csv
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+
+
+def _write_video(path: str, scene, n_frames: int, fps: float = 30.0) -> None:
+    import cv2
+
+    H, W = scene.frame_hw
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), fps, (W, H))
+    if not wr.isOpened():  # fallback: uncompressed
+        wr = cv2.VideoWriter(path, 0, fps, (W, H))
+    if not wr.isOpened():
+        raise RuntimeError(f"cv2.VideoWriter failed for {path}")
+    try:
+        for i in range(n_frames):
+            wr.write(scene.frame(i))
+    finally:
+        wr.release()
+
+
+def render_benchmark(root: str, seeds, n_frames: int, frame_hw, face_px: int,
+                     loop: int = 24) -> int:
+    """Paired real/fake videos: vid seed s → real/vid_s.avi (identity talking
+    smoothly) + fake/vid_s.avi (same identity, scrambled expression order)."""
+    from stdd_tpu.eval.bench_scene import BenchScene
+
+    n = 0
+    for s in seeds:
+        scene = BenchScene(frame_hw, n_faces=1, seed=s, face_px=face_px,
+                           loop=loop)
+        _write_video(os.path.join(root, "real", f"vid_{s:03d}.avi"),
+                     scene, n_frames)
+        rng = np.random.RandomState(10_000 + s)
+        perm = rng.permutation(loop)
+        while np.mean(np.abs(perm - np.arange(loop))) < loop / 4:
+            perm = rng.permutation(loop)
+        scene_f = BenchScene(frame_hw, n_faces=1, seed=s, face_px=face_px,
+                             loop=loop, expr_order=perm)
+        _write_video(os.path.join(root, "fake", f"vid_{s:03d}.avi"),
+                     scene_f, n_frames)
+        n += 2
+    return n
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/synth_e2e")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny config on CPU — validates the composition only")
+    ap.add_argument("--train_pairs", type=int, default=None)
+    ap.add_argument("--eval_pairs", type=int, default=None)
+    ap.add_argument("--frames", type=int, default=None)
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--fresh", action="store_true",
+                    help="wipe --out first (preprocess resume-skips otherwise)")
+    args = ap.parse_args()
+
+    sys.path.insert(0, ".")
+    from bench import tpu_available
+
+    if not args.smoke and not tpu_available(150):
+        print("TPU unavailable -> smoke mode", file=sys.stderr)
+        args.smoke = True
+    if args.smoke:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")  # sitecustomize pins axon
+
+    import jax
+
+    os.makedirs("/tmp/jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if args.smoke:
+        cfg = dict(frame_hw=(360, 640), face_px=288, frames=48,
+                   train_pairs=2, eval_pairs=2, crop=112, clip_size=8,
+                   batch=4, epochs=2, stride=4, crop_buffer=128,
+                   batch_clips=2, precise_bn=2)
+    else:
+        cfg = dict(frame_hw=(720, 1280), face_px=288, frames=140,
+                   train_pairs=8, eval_pairs=6, crop=224, clip_size=32,
+                   batch=8, epochs=5, stride=5, crop_buffer=256,
+                   batch_clips=2, precise_bn=4)
+    for k in ("train_pairs", "eval_pairs", "frames", "epochs"):
+        if getattr(args, k) is not None:
+            cfg[k] = getattr(args, k)
+
+    out = args.out
+    if args.fresh and os.path.isdir(out):
+        shutil.rmtree(out)
+    os.makedirs(out, exist_ok=True)
+    wall = {}
+
+    # -- 1. render ---------------------------------------------------------
+    t0 = time.perf_counter()
+    train_root = os.path.join(out, "videos_train")
+    eval_root = os.path.join(out, "videos_eval")
+    n_train = render_benchmark(train_root, range(0, cfg["train_pairs"]),
+                               cfg["frames"], cfg["frame_hw"], cfg["face_px"])
+    n_eval = render_benchmark(eval_root, range(100, 100 + cfg["eval_pairs"]),
+                              cfg["frames"], cfg["frame_hw"], cfg["face_px"])
+    wall["render"] = round(time.perf_counter() - t0, 1)
+    print(f"rendered {n_train} train / {n_eval} eval videos", file=sys.stderr)
+
+    # -- 2. preprocess (dataset-production CLI) -----------------------------
+    t0 = time.perf_counter()
+    clips_dir = os.path.join(out, "clips")
+    from stdd_tpu.data import preprocess as pp
+
+    pp.main(["--video_root", train_root, "--out_dir", clips_dir,
+             "--landmarker", "none", "--det_conf", "0.25",
+             "--track_thresh", "0.35", "--crop_size", str(cfg["crop"])])
+    wall["preprocess"] = round(time.perf_counter() - t0, 1)
+
+    # -- 3. train (AltFreezing CLI) -----------------------------------------
+    t0 = time.perf_counter()
+    ckpt_dir = os.path.join(out, "ckpt")
+    from stdd_tpu.train import run_i3d
+
+    run_i3d.main(["--data", clips_dir, "--out", ckpt_dir,
+                  "--clip_size", str(cfg["clip_size"]),
+                  "--crop_size", str(cfg["crop"]),
+                  "--batch", str(cfg["batch"]),
+                  "--epochs", str(cfg["epochs"]),
+                  "--base_lr", "0.02", "--warmup_epochs", "1",
+                  "--val_ratio", "0.15",
+                  "--precise_bn_batches", str(cfg["precise_bn"])])
+    wall["train"] = round(time.perf_counter() - t0, 1)
+
+    from stdd_tpu.utils.checkpoint import find_last
+
+    last = find_last(ckpt_dir, "i3d")
+    assert last, "training produced no checkpoint"
+    epoch, ckpt_path = last
+
+    # -- 4. evaluate held-out videos (streaming harness CLI) ----------------
+    t0 = time.perf_counter()
+    results_dir = os.path.join(out, "results")
+    from stdd_tpu.eval import harness
+
+    harness.main(["--video_root", eval_root, "--out_dir", results_dir,
+                  "--jax_ckpt", ckpt_path, "--model_crop", str(cfg["crop"]),
+                  "--clip_size", str(cfg["clip_size"]),
+                  "--stride", str(cfg["stride"]),
+                  "--batch_clips", str(cfg["batch_clips"]),
+                  "--crop_buffer", str(cfg["crop_buffer"]),
+                  "--det_conf", "0.25", "--track_thresh", "0.35",
+                  "--min_det_side", "10", "--threshold", "0.5",
+                  "--no_quality"])
+    wall["eval"] = round(time.perf_counter() - t0, 1)
+
+    with open(os.path.join(results_dir, "summary.csv")) as f:
+        summary = next(iter(csv.DictReader(f)))
+
+    print(json.dumps({
+        "metric": "synth_e2e",
+        "smoke_cpu": bool(args.smoke),
+        "config": {k: cfg[k] for k in ("frames", "train_pairs", "eval_pairs",
+                                       "crop", "clip_size", "epochs")},
+        "train_ckpt_epoch": epoch,
+        "eval_videos": int(summary["videos"]),
+        "video_auc": float(summary["auc_roc"]),
+        "video_acc_thr0.5": float(summary["accuracy"]),
+        "mean_fps": float(summary["mean_fps"]),
+        "phase_wall_s": wall,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -425,6 +425,12 @@ def main(argv=None):
     ap.add_argument("--yunet_model", default=None)
     ap.add_argument("--det_conf", type=float, default=0.6)
     ap.add_argument("--det_size", type=int, default=320)
+    ap.add_argument("--crop_size", type=int, default=CLIP_SIZE[0],
+                    help="written crop side (square), default 224")
+    ap.add_argument("--track_thresh", type=float, default=0.5,
+                    help="ByteTrack high-score threshold (lower it for "
+                         "low-confidence domains, e.g. rendered scenes)")
+    ap.add_argument("--match_thresh", type=float, default=0.8)
     ap.add_argument("--features", action="store_true",
                     help="also convert the tree to lmk/au features + norm stats")
     args = ap.parse_args(argv)
@@ -462,6 +468,10 @@ def main(argv=None):
     pipe = PreprocessPipeline(
         detect_fn, au_extractor=au, landmarker=lm,
         clip_length=args.clip_length, clip_step=args.clip_step,
+        crop_size=(args.crop_size, args.crop_size),
+        track_kwargs=dict(track_thresh=args.track_thresh,
+                          match_thresh=args.match_thresh,
+                          track_buffer=30, split_low_scores=False),
     )
     logs = process_tree(pipe, args.video_root, args.out_dir,
                         max_frames=args.max_frames)

@@ -30,7 +30,7 @@ class BenchScene:
     """
 
     def __init__(self, frame_hw, n_faces: int = 1, seed: int = 0,
-                 face_px: int = 288, loop: int = 24):
+                 face_px: int = 288, loop: int = 24, expr_order=None):
         import cv2
         import jax
         import jax.numpy as jnp
@@ -130,6 +130,23 @@ class BenchScene:
         self._dirty: list = []   # per-canvas [(y, x)] of stale sprite pastes
         self._call_no = 0
 
+        # Optional temporal scrambling of the talking loop (the synthetic
+        # "deepfake" used by scripts/run_synth_e2e.py): a permutation of
+        # range(loop) applied to the EXPRESSION index only. Head position
+        # stays smooth in ``i`` (detection/tracking see identical geometry),
+        # while adjacent frames jump between expression states — the
+        # temporal-incoherence cue the I3D's temporal kernels exist to catch
+        # (the video-domain analogue of the temporal-shuffle separable data
+        # in scripts/measure_train_epoch.py).
+        if expr_order is None:
+            self._expr = np.arange(loop)
+        else:
+            self._expr = np.asarray(expr_order, np.int64)
+            if (self._expr.shape != (loop,)
+                    or not np.array_equal(np.sort(self._expr), np.arange(loop))):
+                raise ValueError(
+                    f"expr_order must be a permutation of range({loop})")
+
     def _positions(self, i: int) -> np.ndarray:
         # reflective (triangle-wave) bounce — deterministic in i, no state.
         # A degenerate axis (face fills the frame dimension: hi <= lo) pins
@@ -176,7 +193,7 @@ class BenchScene:
                     out[iy0:iy1, ix1:x + px] = self.bg[iy0:iy1, ix1:x + px]
             dirty.clear()
         self._call_no += 1
-        k = i % self.loop
+        k = int(self._expr[i % self.loop])
         for f, (x, y) in enumerate(pos):
             out[y:y + px, x:x + px] = self.sprites[f, k]
             dirty.append((f, int(y), int(x)))

@@ -218,6 +218,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--video_root", required=True)
     ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--jax_ckpt", default=None,
+                    help="msgpack checkpoint trained by stdd_tpu.train.run_i3d")
     ap.add_argument("--out_dir", default="demo_outputs")
     ap.add_argument("--per_class", type=int, default=500)
     ap.add_argument("--max_frame", type=int, default=768)
@@ -239,10 +241,17 @@ def main(argv=None):
     from ..runtime.classifier import ClipScorer
 
     kw = dict(upload_format=args.upload_format, int8=args.int8)
-    scorer = (
-        ClipScorer.from_torch_checkpoint(args.ckpt, **kw) if args.ckpt
-        else ClipScorer.random_init(**kw)
-    )
+    if args.ckpt and args.jax_ckpt:
+        raise SystemExit("--ckpt and --jax_ckpt are mutually exclusive")
+    if args.ckpt:
+        scorer = ClipScorer.from_torch_checkpoint(args.ckpt, **kw)
+    elif args.jax_ckpt:
+        from ..config import I3DConfig
+
+        scorer = ClipScorer.from_jax_checkpoint(
+            args.jax_ckpt, cfg=I3DConfig(num_frames=args.clip_size), **kw)
+    else:
+        scorer = ClipScorer.random_init(**kw)
     yunet = YuNetTPU(conf_threshold=0.5)
 
     def detector(frames):

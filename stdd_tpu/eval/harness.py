@@ -287,8 +287,19 @@ def build_engine(args):
     )
     kw = dict(upload_format=getattr(args, "upload_format", "rgb"),
               int8=getattr(args, "int8", False))
+    jax_ckpt = getattr(args, "jax_ckpt", None)
+    if args.ckpt and jax_ckpt:
+        raise SystemExit("--ckpt and --jax_ckpt are mutually exclusive")
     if args.ckpt:
         scorer = ClipScorer.from_torch_checkpoint(args.ckpt, **kw)
+    elif jax_ckpt:
+        # weights trained by stdd_tpu.train.run_i3d (msgpack pytree)
+        from ..config import I3DConfig
+
+        scorer = ClipScorer.from_jax_checkpoint(
+            jax_ckpt, cfg=I3DConfig(num_frames=args.clip_size,
+                                    crop_size=getattr(args, "model_crop", 224)),
+            **kw)
     else:
         scorer = ClipScorer.random_init(**kw)
 
@@ -303,9 +314,19 @@ def build_engine(args):
 
         return detect_scaled(detector, frame_bgr, args.det_size)
 
+    qkw = {}
+    if not getattr(args, "quality", True):
+        # disable the blur/size quality gate — e.g. rendered or synthetic
+        # scenes whose Laplacian statistics differ from camera footage
+        qkw = dict(q_weighting=False, q_lap_hard=0.0)
+    track_thresh = getattr(args, "track_thresh", None)
+    if track_thresh is not None:
+        qkw["track_kwargs"] = dict(track_thresh=track_thresh,
+                                   match_thresh=0.8, track_buffer=30,
+                                   split_low_scores=False)
     engine = StreamingEngine(
         scorer, detect_fn, cfg=cfg, crop_buffer=args.crop_buffer,
-        start_conf=args.det_conf,
+        start_conf=args.det_conf, **qkw,
     )
     warmed = getattr(args, "warmup", True) and jax.devices()[0].platform != "cpu"
     if warmed:
@@ -321,6 +342,10 @@ def main(argv=None):
     ap.add_argument("--video_list", default=None)
     ap.add_argument("--out_dir", default="eval_outputs")
     ap.add_argument("--ckpt", default=None, help="reference .pth checkpoint (converted on load)")
+    ap.add_argument("--jax_ckpt", default=None,
+                    help="msgpack checkpoint trained by stdd_tpu.train.run_i3d")
+    ap.add_argument("--model_crop", type=int, default=224,
+                    help="model crop size the --jax_ckpt was trained at")
     ap.add_argument("--yunet_model",
                     default="/root/reference/preprocessing/yunet/face_detection_yunet_2023mar.onnx")
     ap.add_argument("--per_class", type=int, default=500)
@@ -345,6 +370,10 @@ def main(argv=None):
                          "(s3-s5); scores shift by the quantization error")
     ap.add_argument("--no_warmup", dest="warmup", action="store_false",
                     help="skip the startup pre-compile of scorer batch shapes")
+    ap.add_argument("--no_quality", dest="quality", action="store_false",
+                    help="disable blur/size quality gating (synthetic scenes)")
+    ap.add_argument("--track_thresh", type=float, default=None,
+                    help="override ByteTrack high-score threshold")
     args = ap.parse_args(argv)
 
     if args.video_list:

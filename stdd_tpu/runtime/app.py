@@ -183,6 +183,8 @@ def main(argv=None):
     ap.add_argument("--capture_hz", type=float, default=8.0,
                     help="screen-capture pacing (win_capture.py target_hz)")
     ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--jax_ckpt", default=None,
+                    help="msgpack checkpoint trained by stdd_tpu.train.run_i3d")
     ap.add_argument("--threshold", type=float, default=0.362)
     ap.add_argument("--clip_size", type=int, default=32)
     ap.add_argument("--stride", type=int, default=30)
@@ -221,10 +223,17 @@ def main(argv=None):
     from . import sources
 
     kw = dict(upload_format=args.upload_format, int8=args.int8)
-    scorer = (
-        ClipScorer.from_torch_checkpoint(args.ckpt, **kw) if args.ckpt
-        else ClipScorer.random_init(**kw)
-    )
+    if args.ckpt and args.jax_ckpt:
+        raise SystemExit("--ckpt and --jax_ckpt are mutually exclusive")
+    if args.ckpt:
+        scorer = ClipScorer.from_torch_checkpoint(args.ckpt, **kw)
+    elif args.jax_ckpt:
+        from ..config import I3DConfig
+
+        scorer = ClipScorer.from_jax_checkpoint(
+            args.jax_ckpt, cfg=I3DConfig(num_frames=args.clip_size), **kw)
+    else:
+        scorer = ClipScorer.random_init(**kw)
     det = YuNetTPU(conf_threshold=0.6)
 
     def detect_fn(frame_bgr):

@@ -260,6 +260,42 @@ class ClipScorer:
         variables = jax.tree.map(jnp.asarray, variables)
         return cls(variables, cfg=cfg, **kw)
 
+    @classmethod
+    def from_jax_checkpoint(cls, path: str, cfg: Optional[I3DConfig] = None, **kw):
+        """Serve weights trained by this framework's own trainer.
+
+        Loads a ``{name}_{epoch}.msgpack`` pytree checkpoint written by
+        ``stdd_tpu.train.run_i3d`` / ``utils.checkpoint.save_checkpoint``
+        (``params`` + ``batch_stats``; a trailing ``opt_state`` is ignored)
+        through the tolerant merger, and refuses to serve a checkpoint that
+        does not fully cover the model. ``cfg`` must match the training
+        geometry. Reference analogue: serving a ModelBase epoch checkpoint
+        (model/_base.py:39 load)."""
+        from flax import serialization
+
+        from ..utils.checkpoint import tolerant_merge
+
+        cfg = cfg or I3DConfig()
+        model = I3D(cfg=cfg)
+        sample = jnp.zeros((1, cfg.num_frames, cfg.crop_size, cfg.crop_size, 3))
+        variables = jax.jit(
+            lambda r: model.init(r, sample, train=False)
+        )(jax.random.PRNGKey(0))
+        with open(path, "rb") as f:
+            raw = serialization.msgpack_restore(f.read())
+        target = {"params": variables["params"],
+                  "batch_stats": variables["batch_stats"]}
+        src = {k: raw[k] for k in ("params", "batch_stats") if k in raw}
+        merged, report = tolerant_merge(target, src)
+        if report["missing"] or report["shape_mismatch"]:
+            raise ValueError(
+                f"{path} does not cover the model (cfg={cfg}): "
+                f"missing={report['missing'][:5]} "
+                f"shape_mismatch={report['shape_mismatch'][:5]}")
+        merged = jax.tree.map(jnp.asarray, merged)
+        return cls({"params": merged["params"],
+                    "batch_stats": merged["batch_stats"]}, cfg=cfg, **kw)
+
     def _score_fn(self, path: str = "auto", scaled: bool = False):
         """Cached jitted scorer for a statically-forced warp path, optionally
         taking a per-frame ``scale [B, T]`` argument (device-ring windows)."""

@@ -27,8 +27,15 @@ def test_bench_main_emits_contract_json(capsys):
         # tested packed program agree on one identical clip (f32 CPU config
         # here; the on-chip bf16 run stays well under 1e-2)
         assert xm["window_vs_packed_score_delta"] <= 5e-3
+        # pool-speed calibration: ship→score floor of one B=1 window
+        assert xm["window_device_rtt_ms"] > 0
         assert xm["multi_face_fps_4"] > 0
         assert xm["multi_face_window_p50_ms"] > 0
+        # paced-arrival latency at the production 30 fps frame rate — the
+        # free-run fields above measure latency under maximum overload
+        assert xm["paced30_window_p50_ms"] > 0
+        assert xm["multi_face_paced30_window_p50_ms"] > 0
+        assert xm["paced30_frames_late"] >= 0
 
 
 def test_bench_scene_frame_deterministic_under_canvas_reuse():
@@ -60,6 +67,42 @@ def test_bench_scene_frame_deterministic_under_canvas_reuse():
     for i in range(6, 6 + s._N_CANVAS - 1):
         s.frame(i)
     np.testing.assert_array_equal(held, snapshot)
+
+def test_bench_scene_expr_order_scrambles_time_not_space():
+    """The synthetic-deepfake knob (scripts/run_synth_e2e.py): a permuted
+    expr_order must scramble WHICH expression frame shows (temporal
+    incoherence) while keeping sprite geometry identical — same paste
+    positions, same sprite set — so detection/tracking cannot shortcut."""
+    import numpy as np
+    import pytest
+
+    from stdd_tpu.eval.bench_scene import BenchScene
+
+    mk = lambda **kw: BenchScene((216, 384), n_faces=1, seed=5, face_px=64,
+                                 loop=8, **kw)
+    real = mk()
+    ident = mk(expr_order=np.arange(8))
+    perm = np.array([3, 0, 6, 1, 7, 2, 5, 4])
+    fake = mk(expr_order=perm)
+
+    diff = 0
+    for i in range(8):
+        a = real.frame(i, copy=True)
+        np.testing.assert_array_equal(a, ident.frame(i, copy=True))
+        b = fake.frame(i, copy=True)
+        # the fake's frame i must equal the REAL's frame at the permuted
+        # loop slot modulo position drift — cheap proxy: same sprite pixels
+        # pasted at the same position as real.frame(j) would use at i's pos
+        np.testing.assert_array_equal(fake.sprites, real.sprites)
+        diff += int(not np.array_equal(a, b))
+    assert diff >= 6          # scrambled frames differ on most loop slots
+    np.testing.assert_array_equal(real._positions(13), fake._positions(13))
+
+    with pytest.raises(ValueError):
+        mk(expr_order=np.array([0, 1, 2, 3, 4, 5, 6, 6]))
+    with pytest.raises(ValueError):
+        mk(expr_order=np.arange(7))
+
 
 def test_bench_tpu_child_line_passthrough(monkeypatch, capsys):
     """When the probe is green, the on-TPU bench runs in a bounded child
