@@ -23,6 +23,11 @@ shipped CLIs, ending in an honest video AUC:
      checkpoint (``--jax_ckpt``) over HELD-OUT videos (disjoint seeds =
      unseen identities/motions) → per_video.csv / summary.csv and the video
      AUC (the reference's ``TEST2.py`` workflow).
+  5. **(--dual)** the SECOND detector family end to end: phase 2 also runs
+     the dense landmarker + AU net and writes feature sequences; the
+     dual-encoder trains on them via the ``stdd_tpu.train.run_dual`` CLI
+     (threshold selection, temperature scaling, report_median.json) — the
+     reference's ``dualrun`` workflow on the same benchmark.
 
 Note the deliberate domain gap between phases 2/3 and 4: training clips are
 plain resized detector-box crops (the preprocess writer's semantics,
@@ -97,6 +102,12 @@ def main():
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--fresh", action="store_true",
                     help="wipe --out first (preprocess resume-skips otherwise)")
+    ap.add_argument("--dual", action=argparse.BooleanOptionalAction, default=None,
+                    help="also run the SECOND detector family end to end: "
+                         "preprocess with dense landmarks + AU features, "
+                         "train the dual-encoder (run_dual CLI), report its "
+                         "video AUC (default: on for the full run, off in "
+                         "--smoke)")
     args = ap.parse_args()
 
     sys.path.insert(0, ".")
@@ -120,12 +131,13 @@ def main():
         cfg = dict(frame_hw=(360, 640), face_px=288, frames=48,
                    train_pairs=2, eval_pairs=2, crop=112, clip_size=8,
                    batch=4, epochs=2, stride=4, crop_buffer=128,
-                   batch_clips=2, precise_bn=2)
+                   batch_clips=2, precise_bn=2, dual_epochs=2)
     else:
         cfg = dict(frame_hw=(720, 1280), face_px=288, frames=140,
                    train_pairs=8, eval_pairs=6, crop=224, clip_size=32,
                    batch=8, epochs=5, stride=5, crop_buffer=256,
-                   batch_clips=2, precise_bn=4)
+                   batch_clips=2, precise_bn=4, dual_epochs=12)
+    dual = args.dual if args.dual is not None else (not args.smoke)
     for k in ("train_pairs", "eval_pairs", "frames", "epochs"):
         if getattr(args, k) is not None:
             cfg[k] = getattr(args, k)
@@ -152,9 +164,15 @@ def main():
     clips_dir = os.path.join(out, "clips")
     from stdd_tpu.data import preprocess as pp
 
-    pp.main(["--video_root", train_root, "--out_dir", clips_dir,
-             "--landmarker", "none", "--det_conf", "0.25",
-             "--track_thresh", "0.35", "--crop_size", str(cfg["crop"])])
+    pp_args = ["--video_root", train_root, "--out_dir", clips_dir,
+               "--det_conf", "0.25", "--track_thresh", "0.35",
+               "--crop_size", str(cfg["crop"])]
+    # the dual-encoder detector consumes landmark + AU FEATURE sequences —
+    # run the full perception stack (dense landmarker, AU net) and the
+    # feature conversion only when that phase is on
+    pp_args += (["--landmarker", "dense", "--au_ckpt", "random", "--features"]
+                if dual else ["--landmarker", "none"])
+    pp.main(pp_args)
     wall["preprocess"] = round(time.perf_counter() - t0, 1)
 
     # -- 3. train (AltFreezing CLI) -----------------------------------------
@@ -197,7 +215,7 @@ def main():
     with open(os.path.join(results_dir, "summary.csv")) as f:
         summary = next(iter(csv.DictReader(f)))
 
-    print(json.dumps({
+    result = {
         "metric": "synth_e2e",
         "smoke_cpu": bool(args.smoke),
         "config": {k: cfg[k] for k in ("frames", "train_pairs", "eval_pairs",
@@ -208,7 +226,60 @@ def main():
         "video_acc_thr0.5": float(summary["accuracy"]),
         "mean_fps": float(summary["mean_fps"]),
         "phase_wall_s": wall,
-    }))
+    }
+
+    # -- 5. (optional) second detector family: dual-encoder over the
+    #       landmark/AU feature sequences the preprocess phase wrote --------
+    if dual:
+        t0 = time.perf_counter()
+        dual_dir = os.path.join(out, "dual")
+        try:
+            import glob
+
+            from stdd_tpu.data.splits import save_split
+            from stdd_tpu.train import run_dual
+
+            # held-out test = the SAME eval videos the harness scored
+            # (disjoint identities), preprocessed with features
+            clips_eval = os.path.join(out, "clips_eval")
+            pp.main(["--video_root", eval_root, "--out_dir", clips_eval,
+                     "--det_conf", "0.25", "--track_thresh", "0.35",
+                     "--crop_size", str(cfg["crop"]),
+                     "--landmarker", "dense", "--au_ckpt", "random",
+                     "--features"])
+            tr = sorted(glob.glob(os.path.join(
+                clips_dir, "**", "track_*", "clip_*"), recursive=True))
+            te = sorted(glob.glob(os.path.join(
+                clips_eval, "**", "track_*", "clip_*"), recursive=True))
+            if cfg["train_pairs"] >= 2:
+                # video-grouped val: hold out the last rendered pair (both
+                # the real and its scrambled fake) — no same-video leakage
+                vtok = f"vid_{cfg['train_pairs'] - 1:03d}"
+                val = [d for d in tr if vtok in d]
+                train = [d for d in tr if vtok not in d]
+            else:  # toy scale: clip-level carve (run_dual would do the same)
+                k = max(1, len(tr) // 5)
+                train, val = tr[:-k], tr[-k:]
+            split_path = os.path.join(out, "dual_split.json")
+            save_split({"train": train, "val": val, "test": te}, split_path)
+
+            run_dual.main(["--data", clips_dir, "--split", split_path,
+                           "--out", dual_dir,
+                           "--T", "8", "--epochs", str(cfg["dual_epochs"]),
+                           "--batch", "64", "--epoch_samples", "4096",
+                           "--no-dat", "--patience", "6"])
+            with open(os.path.join(dual_dir, "report_median.json")) as f:
+                rep = json.load(f)
+            result["dual_video_auc"] = rep["video_metrics"]["auc_roc"]
+            result["dual_clip_auc"] = rep["clip_metrics"]["auc_roc"]
+        except Exception as e:  # never lose the phase-1..4 result
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            result["dual_error"] = f"{type(e).__name__}: {e}"
+        wall["dual"] = round(time.perf_counter() - t0, 1)
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

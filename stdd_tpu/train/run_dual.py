@@ -78,6 +78,16 @@ def main(argv=None):
         dirs = sorted(glob.glob(os.path.join(args.data, "**", "track_*", "clip_*"),
                                 recursive=True))
         split = make_split(dirs, seed=args.seed)
+    if not split.get("val"):
+        # tiny trees: the video-grouped ratios can round val down to zero —
+        # carve the tail of train instead of crashing. (Clip-level, so same-
+        # video leakage is possible; only reachable on toy datasets.)
+        tr = list(split["train"])
+        if len(tr) < 2:
+            raise RuntimeError("need at least 2 clips to form a val split")
+        k = max(1, len(tr) // 5)
+        split = dict(split, val=tr[-k:], train=tr[:-k])
+        log.warning(f"empty val split; carved {k} clips from train")
 
     def make_ds(dirs, is_train):
         return DualFeaturesClipDataset(
