@@ -293,13 +293,18 @@ def build_engine(args):
     if args.ckpt:
         scorer = ClipScorer.from_torch_checkpoint(args.ckpt, **kw)
     elif jax_ckpt:
-        # weights trained by stdd_tpu.train.run_i3d (msgpack pytree)
+        # weights trained by stdd_tpu.train.run_i3d (msgpack pytree);
+        # geometry: --model_crop wins, else the sidecar metadata (cfg=None),
+        # else the legacy 224 default (ADVICE r4 #2)
         from ..config import I3DConfig
 
-        scorer = ClipScorer.from_jax_checkpoint(
-            jax_ckpt, cfg=I3DConfig(num_frames=args.clip_size,
-                                    crop_size=getattr(args, "model_crop", 224)),
-            **kw)
+        model_crop = getattr(args, "model_crop", None)
+        mcfg = None
+        if model_crop:
+            mcfg = I3DConfig(num_frames=args.clip_size, crop_size=model_crop)
+        elif not os.path.exists(jax_ckpt + ".json"):
+            mcfg = I3DConfig(num_frames=args.clip_size)
+        scorer = ClipScorer.from_jax_checkpoint(jax_ckpt, cfg=mcfg, **kw)
     else:
         scorer = ClipScorer.random_init(**kw)
 
@@ -344,8 +349,9 @@ def main(argv=None):
     ap.add_argument("--ckpt", default=None, help="reference .pth checkpoint (converted on load)")
     ap.add_argument("--jax_ckpt", default=None,
                     help="msgpack checkpoint trained by stdd_tpu.train.run_i3d")
-    ap.add_argument("--model_crop", type=int, default=224,
-                    help="model crop size the --jax_ckpt was trained at")
+    ap.add_argument("--model_crop", type=int, default=None,
+                    help="crop size the --jax_ckpt was trained at (default: "
+                         "the checkpoint's sidecar metadata, else 224)")
     ap.add_argument("--yunet_model",
                     default="/root/reference/preprocessing/yunet/face_detection_yunet_2023mar.onnx")
     ap.add_argument("--per_class", type=int, default=500)

@@ -197,6 +197,9 @@ def main(argv=None):
     ap.add_argument("--int8", action="store_true",
                     help="int8 dynamic-quant convs for the wide I3D stages "
                          "(s3-s5); scores shift by the quantization error")
+    ap.add_argument("--model_crop", type=int, default=None,
+                    help="crop size the --jax_ckpt was trained at (default: "
+                         "the checkpoint's sidecar metadata, else 224)")
     ap.add_argument("--no_warmup", dest="warmup", action="store_false",
                     help="skip the startup pre-compile of scorer batch shapes")
     ap.add_argument("--profile", default=None, metavar="DIR",
@@ -228,10 +231,19 @@ def main(argv=None):
     if args.ckpt:
         scorer = ClipScorer.from_torch_checkpoint(args.ckpt, **kw)
     elif args.jax_ckpt:
+        import os
+
         from ..config import I3DConfig
 
-        scorer = ClipScorer.from_jax_checkpoint(
-            args.jax_ckpt, cfg=I3DConfig(num_frames=args.clip_size), **kw)
+        # geometry: --model_crop wins; else the checkpoint's sidecar
+        # metadata (cfg=None); else the legacy 224 default (ADVICE r4 #2)
+        cfg = None
+        if args.model_crop:
+            cfg = I3DConfig(num_frames=args.clip_size,
+                            crop_size=args.model_crop)
+        elif not os.path.exists(args.jax_ckpt + ".json"):
+            cfg = I3DConfig(num_frames=args.clip_size)
+        scorer = ClipScorer.from_jax_checkpoint(args.jax_ckpt, cfg=cfg, **kw)
     else:
         scorer = ClipScorer.random_init(**kw)
     det = YuNetTPU(conf_threshold=0.6)

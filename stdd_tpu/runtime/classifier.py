@@ -269,13 +269,28 @@ class ClipScorer:
         (``params`` + ``batch_stats``; a trailing ``opt_state`` is ignored)
         through the tolerant merger, and refuses to serve a checkpoint that
         does not fully cover the model. ``cfg`` must match the training
-        geometry. Reference analogue: serving a ModelBase epoch checkpoint
+        geometry; when omitted it is reconstructed from the trainer's
+        sidecar metadata (``{path}.json`` — crop_size/clip_size, ADVICE r4
+        #2) so a non-224 crop checkpoint is never silently served at 224.
+        Reference analogue: serving a ModelBase epoch checkpoint
         (model/_base.py:39 load)."""
         from flax import serialization
 
         from ..utils.checkpoint import tolerant_merge
 
-        cfg = cfg or I3DConfig()
+        if cfg is None:
+            cfg = I3DConfig()
+            try:
+                import json as _json
+
+                with open(path + ".json") as f:
+                    meta = _json.load(f)
+                cfg = I3DConfig(
+                    num_frames=int(meta.get("clip_size", cfg.num_frames)),
+                    crop_size=int(meta.get("crop_size", cfg.crop_size)),
+                    temporal_only=bool(meta.get("temporal_only", False)))
+            except FileNotFoundError:
+                pass
         model = I3D(cfg=cfg)
         sample = jnp.zeros((1, cfg.num_frames, cfg.crop_size, cfg.crop_size, 3))
         variables = jax.jit(

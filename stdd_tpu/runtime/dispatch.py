@@ -393,40 +393,50 @@ class DispatchGroup:
                 t_worker = time.perf_counter()
                 dev = self._score_batch(batch)
                 t_shipped = time.perf_counter()
-                if self.device_resident:
-                    # Ring mode: materialize the probs HERE, on the lane
-                    # thread, and route immediately. Harvesting only from
-                    # the stepping thread quantizes window latency to the
-                    # step cadence and pays a separate D2H round trip
-                    # through the relay (~27 ms measured); a window batch
-                    # is kilobytes, so blocking this lane for the device
-                    # compute costs nothing at streaming clip rates and
-                    # the second lane keeps dispatching. The packed-upload
-                    # path stays async: its lanes pipeline multi-second
-                    # H2D uploads and must not serialize behind fetches.
+                # Ring mode: materialize the probs HERE, on the lane
+                # thread, and route immediately. Harvesting only from
+                # the stepping thread quantizes window latency to the
+                # step cadence and pays a separate D2H round trip
+                # through the relay (~27 ms measured); a window batch
+                # is kilobytes, so blocking this lane for the device
+                # compute costs nothing at streaming clip rates and
+                # the second lane keeps dispatching. The packed-upload
+                # path stays async: its lanes pipeline multi-second
+                # H2D uploads and must not serialize behind fetches —
+                # so a MIXED batch (crowd-overflow clips have no ring and
+                # ship host-packed) keeps the async path too: eagerly
+                # materializing its packed sub-batch would block this lane
+                # on a multi-second H2D upload (ADVICE r4 #1).
+                eager = (self.device_resident
+                         and all(c.window is not None for c in batch))
+                if eager:
                     parts = (dev if isinstance(dev, list)
                              else [(range(len(batch)), dev)])
                     dev = [(idx, np.asarray(d)) for idx, d in parts]
                 with self._lock:
                     self.inflight.append((seq, batch, dev, t0, t_worker,
                                           t_shipped))
-                if self.device_resident:
+                if eager:
                     # route now if this batch is the FIFO head (strict seq
                     # order is still enforced inside harvest); owners see
                     # the score at their next step() without an extra tick.
                     # Own try: the batch is already in `inflight`, so the
                     # outer handler's seq sentinel must NOT fire for a
                     # routing failure — a duplicate seq entry behind the
-                    # advanced cursor would wedge the FIFO head check
+                    # advanced cursor would wedge the FIFO head check.
+                    # Per-batch routing/fetch failures are caught INSIDE
+                    # _harvest_locked and surfaced to the failing batch's
+                    # own streams (the FIFO head may belong to a different
+                    # stream than the batch this lane just shipped — ADVICE
+                    # r4 #4); anything escaping here is infrastructure, so
+                    # it goes to the default stream, not a guessed owner.
                     try:
                         self.harvest(block=False)
                     except Exception as exc:
                         import traceback
 
                         traceback.print_exc()
-                        for owner in {c.owner or self.default_owner
-                                      for c in batch} or {self.default_owner}:
-                            owner._worker_error = exc
+                        self.default_owner._worker_error = exc
             except Exception as exc:
                 # a dead worker would deadlock every later _dispatch_q.join();
                 # keep the thread alive, drop the batch (a None sentinel so
@@ -545,21 +555,31 @@ class DispatchGroup:
                     self.inflight.remove(entry)
                 except ValueError:
                     continue
-            for bi, clip in enumerate(batch):
-                # per-clip enqueue→scored latency, the reference's
-                # clip_enqueue_t/clip_infer_t accounting (TEST2.py:316,440)
-                self.clip_latencies.append(now - (clip.t_enq or t0))
-                self.latency_stages.append(
-                    (clip.t_enq or t0, t0, t_worker, t_shipped,
-                     t_fetch_start, now))
-                owner = clip.owner or self.default_owner
-                if owner._gen != clip.owner_gen:
-                    continue  # owner's stream was reset; stale score
-                p = float(probs[bi])
-                owner.track_clip_scores[clip.tid].append(p)
-                owner.hysteresis.update(clip.tid, p)
-                with owner._ready_lock:
-                    owner._ready.append((clip.tid, p))
+            try:
+                for bi, clip in enumerate(batch):
+                    # per-clip enqueue→scored latency, the reference's
+                    # clip_enqueue_t/clip_infer_t accounting (TEST2.py:316,440)
+                    self.clip_latencies.append(now - (clip.t_enq or t0))
+                    self.latency_stages.append(
+                        (clip.t_enq or t0, t0, t_worker, t_shipped,
+                         t_fetch_start, now))
+                    owner = clip.owner or self.default_owner
+                    if owner._gen != clip.owner_gen:
+                        continue  # owner's stream was reset; stale score
+                    p = float(probs[bi])
+                    owner.track_clip_scores[clip.tid].append(p)
+                    owner.hysteresis.update(clip.tid, p)
+                    with owner._ready_lock:
+                        owner._ready.append((clip.tid, p))
+            except Exception as exc:
+                # a routing failure belongs to THIS batch's streams — the
+                # caller may be a dispatch lane that just shipped a
+                # DIFFERENT batch (ADVICE r4 #4), so surface it here, to
+                # the owners of the entry being harvested, and keep the
+                # cursor advancing exactly like the fetch-failure path
+                for owner in {c.owner or self.default_owner for c in batch} or {
+                        self.default_owner}:
+                    owner._worker_error = exc
             # advance the cursor only AFTER routing: _harvest_until's target
             # check (under _harvest_lock) must imply the scores have landed
             self._next_harvest_seq += 1

@@ -21,12 +21,14 @@ def bce_with_logits(
 ) -> jnp.ndarray:
     """Numerically stable binary cross entropy on raw logits.
 
-    Shape-strict like torch's ``binary_cross_entropy_with_logits``: a
-    trailing singleton class dim on ``logits`` (a Dense(1) head) is squeezed
-    against 1-lower-rank targets; any other mismatch raises instead of
-    broadcasting. A silent (B,1)×(B,) broadcast turns the loss into a (B,B)
-    matrix whose gradient trains the model to predict the batch BASE RATE —
-    caught on-chip as AUC ~0.5 after 1350 separable-data steps (round 4)."""
+    Shape discipline is STRICTER than numpy broadcasting: any shape
+    mismatch raises. One deliberate divergence from torch (whose
+    ``binary_cross_entropy_with_logits`` raises on (B,1) logits vs (B,)
+    targets): a trailing singleton class dim on ``logits`` (a Dense(1)
+    head) is squeezed against 1-lower-rank targets as a convenience. A
+    silent (B,1)×(B,) broadcast turns the loss into a (B,B) matrix whose
+    gradient trains the model to predict the batch BASE RATE — caught
+    on-chip as AUC ~0.5 after 1350 separable-data steps (round 4)."""
     logits = logits.astype(jnp.float32)
     targets = targets.astype(jnp.float32)
     if logits.ndim == targets.ndim + 1 and logits.shape[-1] == 1:

@@ -17,6 +17,32 @@ import os
 import numpy as np
 
 
+def ensure_val_floor(split: dict, val_ratio: float) -> dict:
+    """Floor the video-grouped val carve at ONE held-out video group.
+
+    With few videos, per-bucket rounding in ``make_split`` can silently
+    yield ``val=[]``, degenerating best-checkpoint selection and early
+    stopping to last-epoch (VERDICT r4 weak #4; reference validation-gate
+    semantics, dualrun/train/engine.py:707). When validation was requested
+    (``val_ratio > 0``) and came back empty, the last identity-linked video
+    group moves from train to val; with nothing left to hold out, fail
+    loudly instead of training unvalidated."""
+    if val_ratio <= 0 or split["val"]:
+        return split
+    from ..data.splits import group_by_video, link_identity_groups
+
+    groups = link_identity_groups(group_by_video(split["train"]))
+    if len(groups) < 2:
+        raise SystemExit(
+            f"--val_ratio {val_ratio} produced an empty validation split "
+            f"and train has only {len(groups)} video group(s) — add videos "
+            f"or pass --val_ratio 0 explicitly")
+    held = set(groups[sorted(groups)[-1]])
+    split["val"] = sorted(held)
+    split["train"] = [d for d in split["train"] if d not in held]
+    return split
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--data", required=True)
@@ -89,6 +115,7 @@ def main(argv=None):
                             recursive=True))
     split = make_split(dirs, ratios=(1 - args.val_ratio, args.val_ratio, 0.0),
                        seed=args.seed)
+    split = ensure_val_floor(split, args.val_ratio)
     # every host computes the identical split (same seed), then takes its
     # stripe — disjoint near-equal shards whose union is the full train set
     train_dirs = process_shard(split["train"], pi, pc) if pc > 1 else split["train"]
@@ -279,7 +306,15 @@ def main(argv=None):
                              # resume without it bumps the loss and diverges
                              # from the uninterrupted trajectory
                              "opt_state": state.opt_state},
-                            max_to_keep=args.max_to_keep)
+                            max_to_keep=args.max_to_keep,
+                            # sidecar geometry so serving CLIs reconstruct
+                            # the training config without flags (a ckpt
+                            # trained at a non-224 crop silently served at
+                            # 224 degrades scores — ADVICE r4 #2)
+                            metadata={"crop_size": args.crop_size,
+                                      "clip_size": args.clip_size,
+                                      "temporal_only": bool(args.ftcn),
+                                      "epoch": epoch + 1})
     return state
 
 
