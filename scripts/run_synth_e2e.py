@@ -91,6 +91,36 @@ def render_benchmark(root: str, seeds, n_frames: int, frame_hw, face_px: int,
     return n
 
 
+def lm_sentinel_stats(clips_dir: str) -> dict:
+    """Aggregate the landmark-quality sentinel columns the preprocess CLI
+    logs per clip (``master_clip_log.csv``: lm5_agreement, lm_flagged) into
+    the capstone JSON (VERDICT r4 #6 — the CSV columns existed; nothing
+    surfaced them). Returns {} when the log is absent or has no landmarked
+    clips."""
+    path = os.path.join(clips_dir, "master_clip_log.csv")
+    if not os.path.exists(path):
+        return {}
+    agr, flagged, n = [], 0, 0
+    with open(path) as f:
+        for row in csv.DictReader(f):
+            n += 1
+            if row.get("lm_flagged") == "True":
+                flagged += 1
+            try:
+                a = float(row.get("lm5_agreement", "nan"))
+            except ValueError:
+                a = float("nan")
+            if np.isfinite(a):
+                agr.append(a)
+    if n == 0:
+        return {}
+    out = {"lm_clips": n, "lm_flag_rate": round(flagged / n, 4)}
+    if agr:
+        out["lm5_agreement_mean"] = round(float(np.mean(agr)), 4)
+        out["lm5_agreement_p90"] = round(float(np.percentile(agr, 90)), 4)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/synth_e2e")
@@ -131,12 +161,14 @@ def main():
         cfg = dict(frame_hw=(360, 640), face_px=288, frames=48,
                    train_pairs=2, eval_pairs=2, crop=112, clip_size=8,
                    batch=4, epochs=2, stride=4, crop_buffer=128,
-                   batch_clips=2, precise_bn=2, dual_epochs=2)
+                   batch_clips=2, precise_bn=2, dual_epochs=2,
+                   dual_batch=32, dual_samples=256)
     else:
         cfg = dict(frame_hw=(720, 1280), face_px=288, frames=140,
                    train_pairs=8, eval_pairs=6, crop=224, clip_size=32,
                    batch=8, epochs=5, stride=5, crop_buffer=256,
-                   batch_clips=2, precise_bn=4, dual_epochs=12)
+                   batch_clips=2, precise_bn=4, dual_epochs=12,
+                   dual_batch=64, dual_samples=4096)
     dual = args.dual if args.dual is not None else (not args.smoke)
     for k in ("train_pairs", "eval_pairs", "frames", "epochs"):
         if getattr(args, k) is not None:
@@ -180,13 +212,18 @@ def main():
     ckpt_dir = os.path.join(out, "ckpt")
     from stdd_tpu.train import run_i3d
 
+    # val floor: run_i3d refuses a silent val=0 carve; at the 1-pair toy
+    # scale there is no video group to hold out, so validation is
+    # explicitly disabled instead (best-ckpt selection degenerates to
+    # last-epoch there, which the smoke test only uses for plumbing)
+    val_ratio = "0.15" if cfg["train_pairs"] >= 2 else "0"
     run_i3d.main(["--data", clips_dir, "--out", ckpt_dir,
                   "--clip_size", str(cfg["clip_size"]),
                   "--crop_size", str(cfg["crop"]),
                   "--batch", str(cfg["batch"]),
                   "--epochs", str(cfg["epochs"]),
                   "--base_lr", "0.02", "--warmup_epochs", "1",
-                  "--val_ratio", "0.15",
+                  "--val_ratio", val_ratio,
                   "--precise_bn_batches", str(cfg["precise_bn"])])
     wall["train"] = round(time.perf_counter() - t0, 1)
 
@@ -227,6 +264,7 @@ def main():
         "mean_fps": float(summary["mean_fps"]),
         "phase_wall_s": wall,
     }
+    result.update(lm_sentinel_stats(clips_dir))
 
     # -- 5. (optional) second detector family: dual-encoder over the
     #       landmark/AU feature sequences the preprocess phase wrote --------
@@ -266,7 +304,8 @@ def main():
             run_dual.main(["--data", clips_dir, "--split", split_path,
                            "--out", dual_dir,
                            "--T", "8", "--epochs", str(cfg["dual_epochs"]),
-                           "--batch", "64", "--epoch_samples", "4096",
+                           "--batch", str(cfg["dual_batch"]),
+                           "--epoch_samples", str(cfg["dual_samples"]),
                            "--no-dat", "--patience", "6"])
             with open(os.path.join(dual_dir, "report_median.json")) as f:
                 rep = json.load(f)

@@ -75,8 +75,12 @@ def lmk_frame_to_features(
     xy: np.ndarray, rot_invariant: bool = False
 ) -> Optional[np.ndarray]:
     """[N≥309, 2] FaceMesh points → 132-d normalized feature vector
-    (make_lmk_features.py:152 _frame_to_features)."""
-    xy = np.asarray(xy, np.float32)
+    (make_lmk_features.py:152 _frame_to_features). ``None`` frames (a
+    sentinel-flagged track's nulled landmarks) yield None, not an error."""
+    try:
+        xy = np.asarray(xy, np.float32)
+    except (TypeError, ValueError):
+        return None
     if xy.ndim != 2 or xy.shape[0] < REQ_MIN_LANDMARKS or xy.shape[1] < 2:
         return None
     xy = xy[:, :2]

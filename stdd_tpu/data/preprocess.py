@@ -314,7 +314,17 @@ class PreprocessPipeline:
                 aus = [a for a in au_buf[tid][: self.clip_length] if a is not None]
                 lms = [l for l in lm_buf[tid][: self.clip_length] if l is not None]
                 au_ok = self.au_extractor is None or len(aus) >= self.clip_length
-                lm_ok = self.landmarker is None or len(lms) >= self.clip_length
+                # A FLAGGED track still writes its clips: the sentinel
+                # distrusts the dense LANDMARKER, not the face (the
+                # detector referee is what flagged it), so pixels keep
+                # flowing to the image-clip consumers while the clip's
+                # landmarks are nulled — the feature converter then skips
+                # it, gating the track out of the landmark path only
+                # (VERDICT r4 #6). Unflagged tracks keep the reference's
+                # completeness gate (preprocessing_parallel.py:321).
+                flagged = tid in self._lm_flagged
+                lm_ok = (self.landmarker is None or flagged
+                         or len(lms) >= self.clip_length)
                 if au_ok and lm_ok:
                     idx = counters.setdefault(tid, 0)
                     fids = self._fid_buf[tid][: self.clip_length]
@@ -325,7 +335,8 @@ class PreprocessPipeline:
                     writer.submit(ClipTask(
                         video_rel, tid, idx,
                         np.stack(img_buf[tid][: self.clip_length]),
-                        lm_buf[tid][: self.clip_length],
+                        ([None] * self.clip_length if flagged
+                         else lm_buf[tid][: self.clip_length]),
                         au_buf[tid][: self.clip_length],
                         fids[0], fids[-1],   # true (possibly gapped) frame span
                         frame_ids=list(fids),

@@ -34,6 +34,44 @@ def test_run_i3d_cli_one_epoch(tmp_path):
     assert any(f.startswith("i3d_") for f in files), files
 
 
+def test_val_floor_holds_out_one_video_group(tmp_path):
+    """A 4-video tree at a ratio whose per-bucket rounding yields val=[] must
+    end up with a non-empty video-grouped val split (VERDICT r4 weak #4:
+    the r4d smoke trained with val=0 silently, degenerating best-checkpoint
+    selection to last-epoch)."""
+    import glob
+
+    from stdd_tpu.data.splits import group_by_video, make_split
+    from stdd_tpu.train.run_i3d import ensure_val_floor
+
+    data = tmp_path / "clips"
+    _make_i3d_tree(str(data), n_videos=4)
+    dirs = sorted(glob.glob(str(data / "**" / "track_*" / "clip_*"),
+                            recursive=True))
+    split = make_split(dirs, ratios=(0.85, 0.15, 0.0), seed=0)
+    assert not split["val"]          # the rounding hole this guards against
+    out = ensure_val_floor(split, 0.15)
+    assert out["val"], "val floor must hold out at least one video group"
+    # the carve stays video-grouped: one full group moved, no clip overlap
+    assert len(group_by_video(out["val"])) == 1
+    assert not set(out["val"]) & set(out["train"])
+
+
+def test_val_floor_fails_loudly_with_single_group(tmp_path):
+    """With only one video group in train there is nothing to hold out:
+    requesting validation must fail loudly, not train unvalidated."""
+    import pytest
+
+    from stdd_tpu.train.run_i3d import ensure_val_floor
+
+    split = {"train": ["a/v0/track_1/clip_00000", "a/v0/track_1/clip_00001"],
+             "val": [], "test": []}
+    with pytest.raises(SystemExit, match="empty validation"):
+        ensure_val_floor(split, 0.15)
+    # explicit --val_ratio 0 is the sanctioned way to skip validation
+    assert ensure_val_floor(dict(split), 0.0)["val"] == []
+
+
 def test_run_i3d_cli_ftcn(tmp_path):
     from stdd_tpu.train.run_i3d import main
 

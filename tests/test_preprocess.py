@@ -190,10 +190,16 @@ def test_lm_sentinel_logs_agreement_and_passes_good_landmarker(tmp_path):
 def test_lm_sentinel_flags_disagreeing_landmarker(tmp_path):
     """A landmarker whose points drift far from the detector's lm5 referee
     is flagged after the rolling window fills; its dense landmarks stop
-    being trusted, so clips gate out on landmark completeness (the same
-    downstream semantics as a landmarker failure — reference
-    preprocessing_parallel.py:321)."""
-    from stdd_tpu.models.facemesh import LM5_AGREEMENT_BOUND
+    being trusted. The track's PIXEL clips keep being written (the detector
+    referee proved the face is fine) with all landmarks nulled, so the
+    feature converter gates the track out of the landmark path only —
+    flagged tracks degrade, they don't vanish (VERDICT r4 #6; reference
+    MediaPipe-failure handling, preprocessing_parallel.py:321)."""
+    import csv
+
+    import numpy as np
+
+    from stdd_tpu.data.features import process_clip_tree
 
     def bad_landmarker(frame_rgb, tlbr):
         pts = _fake_landmarker(frame_rgb, tlbr)
@@ -204,9 +210,20 @@ def test_lm_sentinel_flags_disagreeing_landmarker(tmp_path):
                               clip_length=8, clip_step=4)
     logs = process_tree(pipe, str(tmp_path / "vids"), str(tmp_path / "out"))
     assert pipe._lm_flagged == {1}
-    # flagged at frame 3 (rolling min count) → last-known cleared → the
-    # 8-frame completeness gate never passes → no clips written
-    assert logs[0]["clips"] == 0
+    # flagged at frame 3 (rolling min count) → dense landmarks nulled, but
+    # the image clips still flow to the pixel-path consumers
+    assert logs[0]["clips"] == 5
+    with open(tmp_path / "out" / "master_clip_log.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 5 and all(r["lm_flagged"] == "True" for r in rows)
+    clip0 = tmp_path / "out" / "a" / "track_1" / "clip_00000"
+    lms = np.load(clip0 / "landmarks.npy", allow_pickle=True)
+    assert all(l is None for l in lms)
+    # the feature converter writes NO lmk features for the nulled clips —
+    # the flagged track is gated out of the landmark path
+    stats = process_clip_tree(str(tmp_path / "out"))
+    assert stats["lmk_ok"] == 0
+    assert not (clip0 / "lmk_features.npy").exists()
 
     # sentinel off: the same landmarker sails through (legacy behavior)
     pipe2 = PreprocessPipeline(_fake_detect, landmarker=bad_landmarker,
