@@ -217,13 +217,17 @@ def main():
     # explicitly disabled instead (best-ckpt selection degenerates to
     # last-epoch there, which the smoke test only uses for plumbing)
     val_ratio = "0.15" if cfg["train_pairs"] >= 2 else "0"
+    # --resume: a capstone retry after a relay outage continues from the
+    # last epoch checkpoint instead of restarting training (no-op on a
+    # fresh tree) — the same idempotent-resume story as the preprocess
+    # phase (preprocessing_parallel.py:594 skip semantics)
     run_i3d.main(["--data", clips_dir, "--out", ckpt_dir,
                   "--clip_size", str(cfg["clip_size"]),
                   "--crop_size", str(cfg["crop"]),
                   "--batch", str(cfg["batch"]),
                   "--epochs", str(cfg["epochs"]),
                   "--base_lr", "0.02", "--warmup_epochs", "1",
-                  "--val_ratio", val_ratio,
+                  "--val_ratio", val_ratio, "--resume",
                   "--precise_bn_batches", str(cfg["precise_bn"])])
     wall["train"] = round(time.perf_counter() - t0, 1)
 
