@@ -49,7 +49,7 @@ def main():
     sys.path.insert(0, ".")
     from bench import tpu_available
 
-    if args.smoke or not tpu_available(120):
+    if args.smoke or not tpu_available(120, attempts=3):
         import jax
 
         jax.config.update("jax_platforms", "cpu")  # sitecustomize pins axon

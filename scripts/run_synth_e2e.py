@@ -143,7 +143,7 @@ def main():
     sys.path.insert(0, ".")
     from bench import tpu_available
 
-    if not args.smoke and not tpu_available(150):
+    if not args.smoke and not tpu_available(150, attempts=3):
         print("TPU unavailable -> smoke mode", file=sys.stderr)
         args.smoke = True
     if args.smoke:

@@ -215,6 +215,9 @@ def eval_video(
 
 
 def main(argv=None):
+    from ..utils.misc import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--video_root", required=True)
     ap.add_argument("--ckpt", default=None)

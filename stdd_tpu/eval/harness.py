@@ -342,6 +342,9 @@ def build_engine(args):
 
 
 def main(argv=None):
+    from ..utils.misc import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--video_root", default=None)
     ap.add_argument("--video_list", default=None)

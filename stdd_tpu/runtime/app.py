@@ -175,6 +175,9 @@ def run_loop(
 
 
 def main(argv=None):
+    from ..utils.misc import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--source", required=True,
                     help="video path | 'webcam[:N]' | 'screen' (X11 full "

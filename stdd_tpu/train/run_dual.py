@@ -55,6 +55,9 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from ..utils.misc import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     args = build_argparser().parse_args(argv)
 
     from ..data.dataset import DualFeaturesClipDataset

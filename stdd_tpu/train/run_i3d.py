@@ -83,6 +83,10 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from ..utils.misc import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+
     from ..parallel.mesh import (
         data_sharding, global_batch_from_local, init_distributed, make_mesh,
         process_shard, replicated,
@@ -225,8 +229,17 @@ def main(argv=None):
 
     rng = jax.random.PRNGKey(args.seed)
     val_meter = ValMeter()
+    # STDD_TRAIN_TIMING=1: per-iteration phase decomposition (host data
+    # pipeline / H2D upload / step dispatch / result block) — localizes
+    # input-bound vs compute-bound vs link-bound epochs without a profiler
+    # (the relay's async dispatch hides everything from the meter's
+    # iter_tic/iter_toc window)
+    timing = os.environ.get("STDD_TRAIN_TIMING") == "1"
+    import time as _time
+
     for epoch in range(start_epoch, args.epochs):
         meter = TrainMeter(steps_per_epoch, args.epochs, log_period=10)
+        t_last = _time.perf_counter()
         for it, (clips, ys) in enumerate(itertools.islice(
             train_ds.batches(local_batch, seed=args.seed + epoch),
             steps_per_epoch,
@@ -238,6 +251,7 @@ def main(argv=None):
                 log.warning(f"skipping short batch of {len(ys)} rows "
                             f"(mesh local_batch={local_batch})")
                 continue
+            t0 = _time.perf_counter()
             meter.iter_tic()
             if mesh is not None:
                 x = global_batch_from_local(mesh, normalize_clip(jnp.asarray(clips)))
@@ -245,11 +259,19 @@ def main(argv=None):
             else:
                 x = normalize_clip(jnp.asarray(clips))
                 y = jnp.asarray(ys)
+            t1 = _time.perf_counter()
             state, m = step_fn(state, x, y, rng)
+            t2 = _time.perf_counter()
+            loss, acc = float(m["loss"]), float(m["acc"])
+            t3 = _time.perf_counter()
             meter.iter_toc()
-            meter.update_stats(float(m["loss"]), float(sched(state.step)),
-                               len(ys), acc=float(m["acc"]))
+            meter.update_stats(loss, float(sched(state.step)), len(ys), acc=acc)
             meter.log_iter_stats(epoch, it)
+            if timing:
+                log.info(f"timing iter {it}: data {t0 - t_last:.2f}s "
+                         f"upload+norm {t1 - t0:.2f}s dispatch {t2 - t1:.2f}s "
+                         f"block {t3 - t2:.2f}s")
+            t_last = _time.perf_counter()
         meter.log_epoch_stats(epoch)
 
         if args.precise_bn_batches:

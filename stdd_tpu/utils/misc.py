@@ -22,6 +22,25 @@ def params_count(params) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
 
 
+def enable_persistent_compilation_cache(path: str = "/tmp/jax_cache") -> None:
+    """Point XLA's persistent compile cache at ``path`` (idempotent).
+
+    Through the axon relay a cold I3D/train-step compile costs 250-400 s;
+    every entry-point process should pay it at most once per program, not
+    once per process. bench.py and the measurement scripts already did
+    this — the serving/training CLIs went through cold compiles on every
+    invocation until round 5 (measured: 306 s of a fresh `run_i3d`'s first
+    step was recompilation of a program an earlier process had built)."""
+    import os
+
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover — cache is an optimization only
+        pass
+
+
 def flop_count(fn: Callable, *args) -> Optional[float]:
     """Analytical FLOPs of a jitted function via XLA cost analysis — the
     fvcore flop-analysis equivalent (misc.py:115 get_model_stats)."""
