@@ -132,6 +132,11 @@ def main():
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--fresh", action="store_true",
                     help="wipe --out first (preprocess resume-skips otherwise)")
+    ap.add_argument("--require_tpu", action="store_true",
+                    help="abort (exit 3, one JSON error line) instead of "
+                         "degrading to --smoke when the probe ladder fails — "
+                         "for orchestrated retry loops where a CPU smoke run "
+                         "would silently hold the slot for hours")
     ap.add_argument("--dual", action=argparse.BooleanOptionalAction, default=None,
                     help="also run the SECOND detector family end to end: "
                          "preprocess with dense landmarks + AU features, "
@@ -144,6 +149,10 @@ def main():
     from bench import tpu_available
 
     if not args.smoke and not tpu_available(150, attempts=3):
+        if args.require_tpu:
+            print(json.dumps({"metric": "synth_e2e",
+                              "error": "tpu_unavailable(ladder_exhausted)"}))
+            sys.exit(3)
         print("TPU unavailable -> smoke mode", file=sys.stderr)
         args.smoke = True
     if args.smoke:
