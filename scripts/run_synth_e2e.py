@@ -245,6 +245,16 @@ def main():
     last = find_last(ckpt_dir, "i3d")
     assert last, "training produced no checkpoint"
     epoch, ckpt_path = last
+    # serve the checkpoint VALIDATION chose (run_i3d's best.json pointer,
+    # the dualrun best.pt semantics) — the last epoch of a short schedule
+    # can sit well below the best-val epoch
+    best_meta = os.path.join(ckpt_dir, "best.json")
+    if os.path.exists(best_meta):
+        with open(best_meta) as f:
+            best = json.load(f)
+        cand = os.path.join(ckpt_dir, best["best_ckpt"])
+        if os.path.exists(cand):
+            epoch, ckpt_path = best["best_epoch"] + 1, cand
 
     # -- 4. evaluate held-out videos (streaming harness CLI) ----------------
     t0 = time.perf_counter()

@@ -29,6 +29,7 @@ def ensure_val_floor(split: dict, val_ratio: float) -> dict:
     loudly instead of training unvalidated."""
     if val_ratio <= 0 or split["val"]:
         return split
+    from ..data.dataset import label_from_dir
     from ..data.splits import group_by_video, link_identity_groups
 
     groups = link_identity_groups(group_by_video(split["train"]))
@@ -37,7 +38,17 @@ def ensure_val_floor(split: dict, val_ratio: float) -> dict:
             f"--val_ratio {val_ratio} produced an empty validation split "
             f"and train has only {len(groups)} video group(s) — add videos "
             f"or pass --val_ratio 0 explicitly")
-    held = set(groups[sorted(groups)[-1]])
+    # hold out the last group of EACH label so the val AUC is defined
+    # (a single-class val split yields NaN AUC and no best-checkpoint
+    # pointer); identity-linked groups often mix labels already (a real
+    # video plus its fakes), in which case one group suffices
+    by_label: dict = {}
+    for k in sorted(groups):
+        by_label.setdefault(label_from_dir(groups[k][0]), []).append(k)
+    held_keys = [ks[-1] for ks in by_label.values()]
+    if len(held_keys) >= len(groups):   # never empty the train split
+        held_keys = held_keys[: len(groups) - 1]
+    held = {d for k in held_keys for d in groups[k]}
     split["val"] = sorted(held)
     split["train"] = [d for d in split["train"] if d not in held]
     return split
@@ -337,6 +348,21 @@ def main(argv=None):
                                       "clip_size": args.clip_size,
                                       "temporal_only": bool(args.ftcn),
                                       "epoch": epoch + 1})
+            if val_meter.best_epoch >= 0:
+                # best-val pointer (dualrun best.pt semantics, engine.py:787):
+                # serving should pick the checkpoint validation chose, not
+                # whichever epoch ran last. Rewritten every epoch so an
+                # interrupted run still points at its true best. NOTE: keep
+                # epochs <= max_to_keep or an early best can be GC'd.
+                import json as _json
+
+                with open(os.path.join(args.out, "best.json"), "w") as f:
+                    _json.dump({
+                        "best_epoch": val_meter.best_epoch,
+                        "best_ckpt": f"i3d_{val_meter.best_epoch + 1}.msgpack",
+                        "best_val_auc": val_meter.best,
+                        "history": val_meter.history,
+                    }, f, indent=1)
     return state
 
 

@@ -32,6 +32,13 @@ def test_run_i3d_cli_one_epoch(tmp_path):
     ])
     files = os.listdir(out)
     assert any(f.startswith("i3d_") for f in files), files
+    # best-val pointer: serving must be able to pick the checkpoint
+    # validation chose (capstone phase 4 reads this)
+    with open(out / "best.json") as f:
+        best = json.load(f)
+    assert best["best_epoch"] == 0
+    assert (out / best["best_ckpt"]).exists()
+    assert 0.0 <= best["best_val_auc"] <= 1.0
 
 
 def test_val_floor_holds_out_one_video_group(tmp_path):
@@ -52,8 +59,13 @@ def test_val_floor_holds_out_one_video_group(tmp_path):
     assert not split["val"]          # the rounding hole this guards against
     out = ensure_val_floor(split, 0.15)
     assert out["val"], "val floor must hold out at least one video group"
-    # the carve stays video-grouped: one full group moved, no clip overlap
-    assert len(group_by_video(out["val"])) == 1
+    # the carve stays video-grouped (full groups move, no clip overlap) and
+    # covers BOTH labels so the val AUC is defined (NaN AUC would silently
+    # disable the best-checkpoint pointer)
+    from stdd_tpu.data.dataset import label_from_dir
+
+    assert len(group_by_video(out["val"])) == 2
+    assert {label_from_dir(d) for d in out["val"]} == {0, 1}
     assert not set(out["val"]) & set(out["train"])
 
 
