@@ -347,13 +347,17 @@ def main(argv=None):
                             metadata={"crop_size": args.crop_size,
                                       "clip_size": args.clip_size,
                                       "temporal_only": bool(args.ftcn),
-                                      "epoch": epoch + 1})
+                                      "epoch": epoch + 1},
+                            # the best-val checkpoint outlives the rolling
+                            # window — best.json must never dangle
+                            protect=(f"i3d_{val_meter.best_epoch + 1}.msgpack"
+                                     if val_meter.best_epoch >= 0 else None))
             if val_meter.best_epoch >= 0:
                 # best-val pointer (dualrun best.pt semantics, engine.py:787):
                 # serving should pick the checkpoint validation chose, not
                 # whichever epoch ran last. Rewritten every epoch so an
-                # interrupted run still points at its true best. NOTE: keep
-                # epochs <= max_to_keep or an early best can be GC'd.
+                # interrupted run still points at its true best; the GC
+                # protects the pointed-at file (save_checkpoint protect=).
                 import json as _json
 
                 with open(os.path.join(args.out, "best.json"), "w") as f:

@@ -29,7 +29,13 @@ def save_checkpoint(
     tree: Any,
     max_to_keep: int = 5,
     metadata: Optional[Dict] = None,
+    protect: Optional[str] = None,
 ) -> str:
+    """``protect`` names one checkpoint file the GC must never delete —
+    the best-validation epoch (run_i3d's best.json pointer). Without it a
+    long schedule whose best epoch came early GCs the very checkpoint
+    serving is told to load (bit a real 10-epoch run: best at epoch 1,
+    max_to_keep 5 kept only 6-10)."""
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, f"{name}_{epoch}.msgpack")
     with open(path, "wb") as f:
@@ -45,6 +51,8 @@ def save_checkpoint(
         found = list_checkpoints(directory, name)
         for ep, p in found[:-max_to_keep]:
             if os.path.abspath(p) == os.path.abspath(path):
+                continue
+            if protect and os.path.basename(p) == protect:
                 continue
             try:
                 os.remove(p)

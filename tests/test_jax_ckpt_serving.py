@@ -173,3 +173,21 @@ def test_from_jax_checkpoint_rejects_geometry_mismatch(tmp_path):
             path, cfg=I3DConfig(num_frames=8, crop_size=64,
                                 width_per_group=32),
             dtype=jnp.float32)
+
+
+def test_checkpoint_gc_protects_best(tmp_path):
+    """The rolling max_to_keep GC must never delete the checkpoint the
+    best.json pointer names (bit a real 10-epoch run: best at epoch 1,
+    max_to_keep 5 kept only epochs 6-10 and serving had nothing to load)."""
+    import os
+
+    from stdd_tpu.utils.checkpoint import save_checkpoint
+
+    tree = {"w": np.zeros(3, np.float32)}
+    for ep in range(1, 8):
+        save_checkpoint(str(tmp_path), "i3d", ep, tree, max_to_keep=3,
+                        protect="i3d_1.msgpack")
+    kept = sorted(f for f in os.listdir(tmp_path) if f.endswith(".msgpack"))
+    assert "i3d_1.msgpack" in kept          # the protected best survives
+    assert "i3d_7.msgpack" in kept          # newest always kept
+    assert len(kept) == 4                   # 3 rolling + 1 protected
