@@ -29,11 +29,13 @@ shipped CLIs, ending in an honest video AUC:
      (threshold selection, temperature scaling, report_median.json) — the
      reference's ``dualrun`` workflow on the same benchmark.
 
-Note the deliberate domain gap between phases 2/3 and 4: training clips are
-plain resized detector-box crops (the preprocess writer's semantics,
-``preprocessing_parallel.py:270``), while serving aligns big-box crops with
-the similarity warp. The temporal cue survives both, which is the point —
-the capstone checks the SYSTEM composes, not that the domains were matched.
+Training clips are written in the SERVING geometry (``--aligned``:
+clip-stable similarity warp of big-box crops — the crops AltFreezing
+itself trains on), so phases 3 and 4 share one domain. Round 5 measured
+the alternative: training on the writer's plain detector-box crops
+(``preprocessing_parallel.py:270`` semantics, still the default for the
+dualrun feature path) and serving aligned crops cost held-out video AUC
+1.0 → 0.847 on this benchmark.
 
 Usage:  timeout 3600 python scripts/run_synth_e2e.py [--smoke] [--out DIR]
 Prints one JSON line; paste the result into docs/PERF.md.
@@ -205,9 +207,15 @@ def main():
     clips_dir = os.path.join(out, "clips")
     from stdd_tpu.data import preprocess as pp
 
+    # --aligned: clips are written in the SERVING geometry (clip-stable
+    # similarity warp of big-box crops — what AltFreezing itself trains on).
+    # Training on plain detector-box crops while serving aligned ones was
+    # measured to cost held-out video AUC 1.0 -> 0.847 on this benchmark
+    # (round 5: the same checkpoint scored the same videos at AUC 1.0 in
+    # its own training domain).
     pp_args = ["--video_root", train_root, "--out_dir", clips_dir,
                "--det_conf", "0.25", "--track_thresh", "0.35",
-               "--crop_size", str(cfg["crop"])]
+               "--crop_size", str(cfg["crop"]), "--aligned"]
     # the dual-encoder detector consumes landmark + AU FEATURE sequences —
     # run the full perception stack (dense landmarker, AU net) and the
     # feature conversion only when that phase is on

@@ -141,6 +141,8 @@ class PreprocessPipeline:
         au_every: int = 2,                                # AU cadence (reference: every other frame)
         track_kwargs: Optional[dict] = None,
         lm_sentinel: bool = True,
+        aligned: bool = False,
+        crop_scale: float = 0.5,
     ):
         self.detect_fn = detect_fn
         self.au_extractor = au_extractor
@@ -149,6 +151,16 @@ class PreprocessPipeline:
         self.clip_step = clip_step
         self.crop_size = crop_size
         self.au_every = au_every
+        # aligned: write clip-stable warp-aligned big-box crops (ONE
+        # similarity per clip from the detector's 5-pt landmarks —
+        # FasterCropAlignXRay semantics, the geometry the serving scorer
+        # feeds the model) instead of plain resized detector-box crops.
+        # Plain crops mirror preprocessing_parallel.py:270 (the dualrun
+        # feature path); aligned crops are what AltFreezing itself trains
+        # on — measured on the synthetic capstone, training on plain crops
+        # and serving aligned ones costs video AUC 1.0 -> 0.847.
+        self.aligned = aligned
+        self.crop_scale = crop_scale
         # landmark-quality sentinel (VERDICT r3 #4): per frame, check the
         # dense landmarker's iris/mouth/nose against the DETECTOR's own
         # 5-point landmarks (an independent, real-weights referee — the
@@ -179,6 +191,7 @@ class PreprocessPipeline:
         self._agree_roll: Dict[int, List[float]] = {}
         self._agr_buf: Dict[int, List[float]] = {}
         self._lm_flagged: set = set()
+        self._align_buf: Dict[int, List] = {}   # aligned mode: (crop, box, lm5)
         tracker = ByteTracker(**self.track_kwargs)
         img_buf: Dict[int, List[np.ndarray]] = {}
         au_buf: Dict[int, List[Optional[Dict]]] = {}
@@ -226,16 +239,34 @@ class PreprocessPipeline:
         frame_rgb = frame_bgr[:, :, ::-1]
         H, W = frame_bgr.shape[:2]
 
-        faces, tids = [], []
+        faces, tids, aligns = [], [], []
         for tr in live:
             x1, y1, x2, y2 = np.clip(
                 np.rint(tr.tlbr).astype(int), [0, 0, 0, 0], [W - 1, H - 1, W - 1, H - 1]
             )
             if x2 <= x1 + 1 or y2 <= y1 + 1:
                 continue
+            align = None
+            if self.aligned:
+                # aligned clips need the DETECTOR's 5-pt landmarks; a frame
+                # whose track matched no detection row contributes nothing
+                # (the reference gates frames on landmarker success too)
+                row = _match_detection_row(rows, tr.tlbr)
+                if row is None:
+                    continue
+                from ..runtime.engine import get_crop_box
+
+                big = get_crop_box((H, W), np.asarray(tr.tlbr[:4], np.float32),
+                                   scale=self.crop_scale)
+                bx1, by1, bx2, by2 = [int(v) for v in big]
+                align = (np.ascontiguousarray(frame_rgb[by1:by2, bx1:bx2]),
+                         np.asarray(big, np.float32),
+                         row[4:14].reshape(5, 2).astype(np.float32)
+                         - np.array([bx1, by1], np.float32))
             crop = cv2.resize(np.ascontiguousarray(frame_rgb[y1:y2, x1:x2]), self.crop_size)
             faces.append(crop)
             tids.append(tr.track_id)
+            aligns.append(align)
 
         # AU extraction: batched, every au_every frames; last-known fill
         aus_now: Dict[int, Optional[Dict]] = {t: None for t in tids}
@@ -288,10 +319,12 @@ class PreprocessPipeline:
                 if lms_now.get(tid) is not None:
                     lms_now[tid] = None
 
-        for crop, tid in zip(faces, tids):
+        for crop, tid, align in zip(faces, tids, aligns):
             img_buf.setdefault(tid, [])
             au_buf.setdefault(tid, [])
             lm_buf.setdefault(tid, [])
+            if self.aligned:
+                self._align_buf.setdefault(tid, []).append(align)
             fid_buf = self._fid_buf.setdefault(tid, [])
             fid_buf.append(frame_id)
             lk = last_known.setdefault(tid, {"aus": None, "lm": None})
@@ -332,9 +365,20 @@ class PreprocessPipeline:
                         self._agr_buf[tid][: self.clip_length], np.float64)
                     agr_mean = (float(np.nanmean(agr))
                                 if np.isfinite(agr).any() else float("nan"))
+                    if self.aligned:
+                        from ..ops.align import align_clip_host
+
+                        ab = self._align_buf[tid][: self.clip_length]
+                        images = align_clip_host(
+                            [a[0] for a in ab],
+                            np.stack([a[1] for a in ab]),
+                            np.stack([a[2] for a in ab]),
+                            out_size=self.crop_size[0])
+                    else:
+                        images = np.stack(img_buf[tid][: self.clip_length])
                     writer.submit(ClipTask(
                         video_rel, tid, idx,
-                        np.stack(img_buf[tid][: self.clip_length]),
+                        images,
                         ([None] * self.clip_length if flagged
                          else lm_buf[tid][: self.clip_length]),
                         au_buf[tid][: self.clip_length],
@@ -349,6 +393,8 @@ class PreprocessPipeline:
                 lm_buf[tid] = lm_buf[tid][self.clip_step:]
                 self._fid_buf[tid] = self._fid_buf[tid][self.clip_step:]
                 self._agr_buf[tid] = self._agr_buf[tid][self.clip_step:]
+                if self.aligned:
+                    self._align_buf[tid] = self._align_buf[tid][self.clip_step:]
 
 
 def _match_detection_row(rows: np.ndarray, tlbr) -> Optional[np.ndarray]:
@@ -444,6 +490,12 @@ def main(argv=None):
     ap.add_argument("--match_thresh", type=float, default=0.8)
     ap.add_argument("--features", action="store_true",
                     help="also convert the tree to lmk/au features + norm stats")
+    ap.add_argument("--aligned", action="store_true",
+                    help="write clip-stable warp-aligned big-box crops (the "
+                         "serving scorer's geometry; what AltFreezing trains "
+                         "on) instead of plain resized detector-box crops")
+    ap.add_argument("--crop_scale", type=float, default=0.5,
+                    help="big-box expansion for --aligned (get_crop_box scale)")
     args = ap.parse_args(argv)
 
     from ..models.yunet import YuNetTPU
@@ -480,6 +532,7 @@ def main(argv=None):
         detect_fn, au_extractor=au, landmarker=lm,
         clip_length=args.clip_length, clip_step=args.clip_step,
         crop_size=(args.crop_size, args.crop_size),
+        aligned=args.aligned, crop_scale=args.crop_scale,
         track_kwargs=dict(track_thresh=args.track_thresh,
                           match_thresh=args.match_thresh,
                           track_buffer=30, split_low_scores=False),

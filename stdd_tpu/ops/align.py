@@ -233,3 +233,89 @@ def align_clip(
     if lm68 is not None:
         lm68_t = transform_landmarks(lm68 + diffs[:, None, :], trans)
     return aligned, lm5_t, lm68_t, tfm
+
+
+# -- host-side (numpy/cv2) clip alignment for the dataset writer -------------
+
+def _solve_nonreflective_np(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Numpy port of :func:`_solve_nonreflective` for host-side callers that
+    must not touch the accelerator (the preprocess writer aligns thousands
+    of clips; a per-clip device round trip through the relay would dominate
+    its runtime)."""
+    src = src.astype(np.float32)
+    dst = dst.astype(np.float32)
+    m = src.shape[0]
+    x, y = dst[:, 0:1], dst[:, 1:2]
+    ones = np.ones((m, 1), np.float32)
+    zeros = np.zeros((m, 1), np.float32)
+    X = np.concatenate(
+        [np.concatenate([x, y, ones, zeros], axis=1),
+         np.concatenate([y, -x, zeros, ones], axis=1)], axis=0)
+    U = np.concatenate([src[:, 0:1], src[:, 1:2]], axis=0)
+    A = X.T @ X
+    b = X.T @ U
+    sc, ss, tx, ty = np.linalg.solve(A, b).reshape(-1)
+    Tinv = np.array([[sc, -ss, 0.0], [ss, sc, 0.0], [tx, ty, 1.0]], np.float32)
+    T = np.linalg.inv(Tinv)
+    T[:, 2] = [0.0, 0.0, 1.0]
+    return T
+
+
+def find_similarity_np(src: np.ndarray, dst: np.ndarray,
+                       reflective: bool = True) -> np.ndarray:
+    """Numpy twin of :func:`find_similarity` (same reference quirks)."""
+    T1 = _solve_nonreflective_np(src, dst)
+
+    def fwd(T, pts):
+        p = np.concatenate([pts, np.ones((pts.shape[0], 1), pts.dtype)], axis=1)
+        return (p @ T)[:, :2]
+
+    if not reflective:
+        return T1
+    dst_neg = dst * np.array([-1.0, 1.0], dst.dtype)
+    T2r = _solve_nonreflective_np(src, dst_neg)
+    refl = np.array([[-1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]], np.float32)
+    T2 = T2r @ refl
+    norm1 = np.linalg.norm(fwd(T1, src) - dst_neg)
+    norm2 = np.linalg.norm(fwd(T2, src) - dst_neg)
+    return T1 if norm1 <= norm2 else T2
+
+
+def align_clip_host(
+    crops,                      # sequence of [h_i, w_i, 3] uint8 big-box crops
+    big_boxes: np.ndarray,      # [T, 4] absolute (x1, y1, x2, y2)
+    lm5_local: np.ndarray,      # [T, 5, 2] landmarks in crop-local coords
+    out_size: int = 224,
+) -> np.ndarray:
+    """FasterCropAlignXRay semantics on the host (numpy + cv2), for the
+    dataset writer's ``--aligned`` mode: ONE similarity is fit from the
+    clip's stacked 5-pt landmarks against the canonical template and every
+    frame is warped from the union canvas with it — temporally stable crops
+    whose GEOMETRY matches what the serving scorer feeds the model
+    (faster_crop_align_xray.py:21/:77; solver warp_for_xray.py:224).
+    Returns ``[T, out_size, out_size, 3] uint8``."""
+    import cv2
+
+    T = len(crops)
+    bb = np.asarray(big_boxes, np.float32)
+    left_top = bb[:, :2].min(axis=0)
+    right_bot = bb[:, 2:].max(axis=0)
+    W = int(np.ceil(right_bot[0] - left_top[0]))
+    H = int(np.ceil(right_bot[1] - left_top[1]))
+    diffs = bb[:, :2] - left_top[None, :]
+    pts = np.concatenate(
+        [np.asarray(lm5_local[i], np.float32) + diffs[i][None, :]
+         for i in range(T)], axis=0)
+    tpl = np.tile(np.asarray(STD_POINTS_256 * (out_size / 256.0), np.float32),
+                  (T, 1))
+    M = find_similarity_np(pts, tpl)[:, :2].T   # 2x3 cv2 convention
+    out = np.empty((T, out_size, out_size, 3), np.uint8)
+    for i, c in enumerate(crops):
+        canvas = np.zeros((H, W, 3), np.uint8)
+        dx = int(round(float(diffs[i][0])))
+        dy = int(round(float(diffs[i][1])))
+        h = min(c.shape[0], H - dy)
+        w = min(c.shape[1], W - dx)
+        canvas[dy:dy + h, dx:dx + w] = c[:h, :w]
+        out[i] = cv2.warpAffine(canvas, M, (out_size, out_size))
+    return out

@@ -139,3 +139,69 @@ def test_align_clip_end_to_end_matches_reference():
     err = np.abs(np.asarray(aligned) - want_imgs.astype(np.float32))
     assert np.mean(err) < 0.6, np.mean(err)
     assert np.percentile(err, 99) <= 4.0, np.percentile(err, 99)
+
+
+def test_find_similarity_np_matches_jax():
+    """The host-side numpy solver (dataset writer's --aligned mode) must
+    reproduce the jittable solver exactly — same reference quirks included."""
+    import numpy as np
+
+    from stdd_tpu.ops.align import find_similarity, find_similarity_np
+
+    rng = np.random.RandomState(3)
+    for _ in range(6):
+        src = rng.uniform(0, 250, (40, 2)).astype(np.float32)
+        # similarity-ish target: rotate/scale/translate + noise
+        th = rng.uniform(-0.5, 0.5)
+        R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]],
+                     np.float32) * rng.uniform(0.5, 1.5)
+        dst = (src @ R.T + rng.uniform(-20, 20, (1, 2))
+               + rng.normal(0, 1.5, src.shape)).astype(np.float32)
+        T_np = find_similarity_np(src, dst)
+        T_jx = np.asarray(find_similarity(src, dst))
+        np.testing.assert_allclose(T_np, T_jx, rtol=1e-4, atol=1e-4)
+
+
+def test_align_clip_host_matches_device_align():
+    """align_clip_host (numpy + cv2, the --aligned dataset writer) must
+    produce the same aligned clip as the jittable align_clip the serving
+    scorer uses — one similarity per clip, union-canvas warp."""
+    import numpy as np
+    import pytest
+
+    pytest.importorskip("cv2")
+    import jax.numpy as jnp
+
+    from stdd_tpu.ops.align import STD_POINTS_256, align_clip, align_clip_host
+
+    rng = np.random.RandomState(5)
+    T, S = 4, 96
+    crops, boxes, lm5 = [], [], []
+    for t in range(T):
+        h, w = 150 + 4 * t, 140 + 3 * t
+        crops.append(rng.randint(0, 255, (h, w, 3), np.uint8))
+        x1, y1 = 30.0 + 2 * t, 40.0 + t
+        boxes.append([x1, y1, x1 + w, y1 + h])
+        lm5.append(STD_POINTS_256 * (90.0 / 256.0)
+                   + np.array([15.0 + t, 20.0]) + rng.normal(0, 1.0, (5, 2)))
+    boxes = np.asarray(boxes, np.float32)
+    lm5 = np.asarray(lm5, np.float32)
+
+    host = align_clip_host(crops, boxes, lm5, out_size=S)
+
+    # device path needs equal-size zero-padded crops
+    Hc = max(c.shape[0] for c in crops)
+    Wc = max(c.shape[1] for c in crops)
+    padded = np.zeros((T, Hc, Wc, 3), np.uint8)
+    for t, c in enumerate(crops):
+        padded[t, : c.shape[0], : c.shape[1]] = c
+    dev, _, _, _ = align_clip(jnp.asarray(padded), jnp.asarray(boxes),
+                              jnp.asarray(lm5), out_size=S)
+    dev = np.asarray(dev)
+
+    # bilinear-warp implementations differ in edge rounding: compare the
+    # interior at a tight mean tolerance and a loose per-pixel one
+    diff = np.abs(host[:, 4:-4, 4:-4].astype(np.float32)
+                  - dev[:, 4:-4, 4:-4].astype(np.float32))
+    assert float(diff.mean()) < 1.5, diff.mean()
+    assert float(np.percentile(diff, 99)) < 12.0
