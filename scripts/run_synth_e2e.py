@@ -29,13 +29,15 @@ shipped CLIs, ending in an honest video AUC:
      (threshold selection, temperature scaling, report_median.json) — the
      reference's ``dualrun`` workflow on the same benchmark.
 
-Training clips are written in the SERVING geometry (``--aligned``:
-clip-stable similarity warp of big-box crops — the crops AltFreezing
-itself trains on), so phases 3 and 4 share one domain. Round 5 measured
-the alternative: training on the writer's plain detector-box crops
-(``preprocessing_parallel.py:270`` semantics, still the default for the
-dualrun feature path) and serving aligned crops cost held-out video AUC
-1.0 → 0.847 on this benchmark.
+Each detector family trains on its reference-faithful domain: the I3D
+tree is written ``--aligned`` with clip_length = the training window
+(one similarity per 32-frame clip == one per serving window — the crops
+AltFreezing itself trains on), while the dual tree keeps the reference
+preprocessing semantics (plain crops, CLIP_LENGTH=8, feature sequences).
+Round 5 measured the alternatives: plain-crop training served aligned
+cost held-out video AUC 1.0 → 0.847, and per-8-frame alignment stitched
+into 32-frame windows injected clip-boundary jumps a one-transform
+serving window never has (0.625).
 
 Usage:  timeout 3600 python scripts/run_synth_e2e.py [--smoke] [--out DIR]
 Prints one JSON line; paste the result into docs/PERF.md.
@@ -203,25 +205,33 @@ def main():
     print(f"rendered {n_train} train / {n_eval} eval videos", file=sys.stderr)
 
     # -- 2. preprocess (dataset-production CLI) -----------------------------
+    # Each detector family trains on its reference-faithful domain:
+    #
+    # - I3D tree: --aligned, clip_length = the TRAINING WINDOW (one
+    #   similarity per 32-frame clip == one per serving window — exactly
+    #   the geometry the harness scorer feeds the model). Round-5
+    #   measurements behind this: training on plain crops and serving
+    #   aligned ones cost held-out video AUC 1.0 -> 0.847, and aligning
+    #   per 8-frame clip then stitching windows injected boundary jumps a
+    #   one-transform serving window never has (0.625).
+    # - dual tree (when phase 5 is on): the reference preprocessing
+    #   semantics — plain crops, CLIP_LENGTH=8, dense landmarks + AUs →
+    #   feature sequences (preprocessing_parallel.py:270).
     t0 = time.perf_counter()
-    clips_dir = os.path.join(out, "clips")
+    clips_dir = os.path.join(out, "clips_i3d")
     from stdd_tpu.data import preprocess as pp
 
-    # --aligned: clips are written in the SERVING geometry (clip-stable
-    # similarity warp of big-box crops — what AltFreezing itself trains on).
-    # Training on plain detector-box crops while serving aligned ones was
-    # measured to cost held-out video AUC 1.0 -> 0.847 on this benchmark
-    # (round 5: the same checkpoint scored the same videos at AUC 1.0 in
-    # its own training domain).
-    pp_args = ["--video_root", train_root, "--out_dir", clips_dir,
-               "--det_conf", "0.25", "--track_thresh", "0.35",
-               "--crop_size", str(cfg["crop"]), "--aligned"]
-    # the dual-encoder detector consumes landmark + AU FEATURE sequences —
-    # run the full perception stack (dense landmarker, AU net) and the
-    # feature conversion only when that phase is on
-    pp_args += (["--landmarker", "dense", "--au_ckpt", "random", "--features"]
-                if dual else ["--landmarker", "none"])
-    pp.main(pp_args)
+    pp.main(["--video_root", train_root, "--out_dir", clips_dir,
+             "--det_conf", "0.25", "--track_thresh", "0.35",
+             "--crop_size", str(cfg["crop"]), "--aligned",
+             "--clip_length", str(cfg["clip_size"]), "--clip_step", "4",
+             "--landmarker", "none"])
+    dual_dir_clips = os.path.join(out, "clips_dual")
+    if dual:
+        pp.main(["--video_root", train_root, "--out_dir", dual_dir_clips,
+                 "--det_conf", "0.25", "--track_thresh", "0.35",
+                 "--crop_size", str(cfg["crop"]),
+                 "--landmarker", "dense", "--au_ckpt", "random", "--features"])
     wall["preprocess"] = round(time.perf_counter() - t0, 1)
 
     # -- 3. train (AltFreezing CLI) -----------------------------------------
@@ -295,7 +305,8 @@ def main():
         "mean_fps": float(summary["mean_fps"]),
         "phase_wall_s": wall,
     }
-    result.update(lm_sentinel_stats(clips_dir))
+    # the sentinel runs where the dense landmarker runs: the dual tree
+    result.update(lm_sentinel_stats(dual_dir_clips if dual else clips_dir))
 
     # -- 5. (optional) second detector family: dual-encoder over the
     #       landmark/AU feature sequences the preprocess phase wrote --------
@@ -317,7 +328,7 @@ def main():
                      "--landmarker", "dense", "--au_ckpt", "random",
                      "--features"])
             tr = sorted(glob.glob(os.path.join(
-                clips_dir, "**", "track_*", "clip_*"), recursive=True))
+                dual_dir_clips, "**", "track_*", "clip_*"), recursive=True))
             te = sorted(glob.glob(os.path.join(
                 clips_eval, "**", "track_*", "clip_*"), recursive=True))
             if cfg["train_pairs"] >= 2:
@@ -332,7 +343,7 @@ def main():
             split_path = os.path.join(out, "dual_split.json")
             save_split({"train": train, "val": val, "test": te}, split_path)
 
-            run_dual.main(["--data", clips_dir, "--split", split_path,
+            run_dual.main(["--data", dual_dir_clips, "--split", split_path,
                            "--out", dual_dir,
                            "--T", "8", "--epochs", str(cfg["dual_epochs"]),
                            "--batch", str(cfg["dual_batch"]),
