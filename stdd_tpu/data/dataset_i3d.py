@@ -33,6 +33,7 @@ class I3DClipDataset:
         p_gauss_noise: float = 0.1,
         p_jpeg: float = 0.3,
         p_erase: float = 0.3,
+        geo_jitter: float = 1.0,   # clip-consistent similarity jitter strength; 0 off
         seed: int = 0,
         clip_step: Optional[int] = None,  # writer stride; None = CLIP_STEP
     ):
@@ -96,17 +97,40 @@ class I3DClipDataset:
         self.T = T
         self.is_train = is_train
         self.aug = dict(color_jitter=color_jitter, p_gauss_blur=p_gauss_blur,
-                        p_gauss_noise=p_gauss_noise, p_jpeg=p_jpeg, p_erase=p_erase)
+                        p_gauss_noise=p_gauss_noise, p_jpeg=p_jpeg,
+                        p_erase=p_erase, geo_jitter=geo_jitter)
         self.rng = np.random.RandomState(seed)
 
     def __len__(self) -> int:
         return len(self.windows)
 
     def _augment(self, clip: np.ndarray) -> np.ndarray:
-        """Clip-consistent pixel augs (same params across frames, as the
-        temporal model requires)."""
+        """Clip-consistent pixel + geometry augs (same params across frames,
+        as the temporal model requires)."""
         rng = self.rng
         a = self.aug
+        if a.get("geo_jitter", 0) > 0 and rng.rand() < 0.8:
+            # small clip-consistent similarity jitter (rotation/scale/shift):
+            # serving re-derives the alignment from ITS OWN detector+tracker
+            # state, so the serve-time crop differs from the dataset crop by
+            # exactly this kind of perturbation — without it, a model whose
+            # in-domain margins are thin flips under serve-time geometry
+            # noise (round-5 capstone: aligned-domain eval AUC 1.0 vs 0.82
+            # through the engine)
+            import cv2
+
+            g = a["geo_jitter"]
+            h, w = clip.shape[1:3]
+            ang = rng.uniform(-6.0, 6.0) * g
+            sc = 1.0 + rng.uniform(-0.08, 0.08) * g
+            tx = rng.uniform(-0.04, 0.04) * g * w
+            ty = rng.uniform(-0.04, 0.04) * g * h
+            M = cv2.getRotationMatrix2D((w / 2, h / 2), ang, sc)
+            M[:, 2] += (tx, ty)
+            clip = np.stack([
+                cv2.warpAffine(f, M, (w, h), flags=cv2.INTER_LINEAR,
+                               borderMode=cv2.BORDER_REPLICATE)
+                for f in clip])
         out = clip.astype(np.float32)
         if a["color_jitter"] > 0:
             b = 1.0 + rng.uniform(-a["color_jitter"], a["color_jitter"])

@@ -81,3 +81,36 @@ def test_short_track_pads_with_last_frame(tmp_path):
     assert clip.shape[0] == 16
     fids = clip[:, 0, 0, 0].astype(int)
     assert fids[LENGTH:].tolist() == [fids[LENGTH - 1]] * (16 - LENGTH)
+
+
+def test_geo_jitter_is_clip_consistent(tmp_path):
+    """Geometric jitter applies ONE similarity to every frame of a clip
+    (temporal consistency is load-bearing) and is off at geo_jitter=0."""
+    import numpy as np
+
+    from stdd_tpu.data.dataset_i3d import I3DClipDataset
+
+    d = tmp_path / "x" / "track_1" / "clip_00000"
+    d.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    # static clip: after a shared warp all frames must stay identical
+    frame = rng.randint(0, 255, (64, 64, 3), np.uint8)
+    np.save(d / "images.npy", np.repeat(frame[None], 8, axis=0))
+
+    ds = I3DClipDataset(clip_dirs=[str(d)], T=8, is_train=True, seed=1,
+                        geo_jitter=1.0, color_jitter=0, p_gauss_blur=0,
+                        p_gauss_noise=0, p_jpeg=0, p_erase=0)
+    # draw until the 0.8-probability geo branch fires and changes pixels
+    for _ in range(8):
+        clip = ds[0]["clip"]
+        if not np.array_equal(clip, np.repeat(frame[None], 8, axis=0)):
+            break
+    assert clip.shape == (8, 64, 64, 3) and clip.dtype == np.uint8
+    for t in range(1, 8):
+        np.testing.assert_array_equal(clip[t], clip[0])
+
+    ds0 = I3DClipDataset(clip_dirs=[str(d)], T=8, is_train=True, seed=1,
+                         geo_jitter=0.0, color_jitter=0, p_gauss_blur=0,
+                         p_gauss_noise=0, p_jpeg=0, p_erase=0)
+    np.testing.assert_array_equal(ds0[0]["clip"],
+                                  np.repeat(frame[None], 8, axis=0))
