@@ -116,7 +116,9 @@ def lm_sentinel_stats(clips_dir: str) -> dict:
                 a = float("nan")
             if np.isfinite(a):
                 agr.append(a)
-    if n == 0:
+    if n == 0 or (not agr and flagged == 0):
+        # no landmarker ran on this tree — a vacuous flag_rate of 0.0
+        # would read as "sentinel checked and passed"
         return {}
     out = {"lm_clips": n, "lm_flag_rate": round(flagged / n, 4)}
     if agr:
