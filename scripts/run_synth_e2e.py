@@ -29,15 +29,12 @@ shipped CLIs, ending in an honest video AUC:
      (threshold selection, temperature scaling, report_median.json) — the
      reference's ``dualrun`` workflow on the same benchmark.
 
-Each detector family trains on its reference-faithful domain: the I3D
-tree is written ``--aligned`` with clip_length = the training window
-(one similarity per 32-frame clip == one per serving window — the crops
-AltFreezing itself trains on), while the dual tree keeps the reference
-preprocessing semantics (plain crops, CLIP_LENGTH=8, feature sequences).
-Round 5 measured the alternatives: plain-crop training served aligned
-cost held-out video AUC 1.0 → 0.847, and per-8-frame alignment stitched
-into 32-frame windows injected clip-boundary jumps a one-transform
-serving window never has (0.625).
+Two preprocess trees: the I3D tree uses plain crops at window-length
+clips (the best-measured full-scale configuration — see the round-5
+serving-gap study in docs/PERF.md, which A/B'd aligned/union/jittered
+alternatives and found them all worse through the harness), and the dual
+tree keeps the reference preprocessing semantics (plain crops,
+CLIP_LENGTH=8, feature sequences).
 
 Usage:  timeout 3600 python scripts/run_synth_e2e.py [--smoke] [--out DIR]
 Prints one JSON line; paste the result into docs/PERF.md.
@@ -207,15 +204,15 @@ def main():
     print(f"rendered {n_train} train / {n_eval} eval videos", file=sys.stderr)
 
     # -- 2. preprocess (dataset-production CLI) -----------------------------
-    # Each detector family trains on its reference-faithful domain:
-    #
-    # - I3D tree: --aligned, clip_length = the TRAINING WINDOW (one
-    #   similarity per 32-frame clip == one per serving window — exactly
-    #   the geometry the harness scorer feeds the model). Round-5
-    #   measurements behind this: training on plain crops and serving
-    #   aligned ones cost held-out video AUC 1.0 -> 0.847, and aligning
-    #   per 8-frame clip then stitching windows injected boundary jumps a
-    #   one-transform serving window never has (0.625).
+    # Two trees:
+    # - I3D tree: PLAIN crops at window-length clips — the best-measured
+    #   full-scale configuration (held-out video AUC 0.847; the round-5
+    #   serving-gap study in docs/PERF.md A/B'd five alternatives — both
+    #   --aligned variants, union domains, geometric jitter — and every
+    #   one scored lower through the harness because the aligned domain
+    #   saturates validation instantly, leaving thin-margin checkpoints
+    #   that serve-time geometry noise reorders). --aligned remains
+    #   available on the preprocess CLI for future rounds.
     # - dual tree (when phase 5 is on): the reference preprocessing
     #   semantics — plain crops, CLIP_LENGTH=8, dense landmarks + AUs →
     #   feature sequences (preprocessing_parallel.py:270).
@@ -225,7 +222,7 @@ def main():
 
     pp.main(["--video_root", train_root, "--out_dir", clips_dir,
              "--det_conf", "0.25", "--track_thresh", "0.35",
-             "--crop_size", str(cfg["crop"]), "--aligned",
+             "--crop_size", str(cfg["crop"]),
              "--clip_length", str(cfg["clip_size"]), "--clip_step", "4",
              "--landmarker", "none"])
     dual_dir_clips = os.path.join(out, "clips_dual")

@@ -33,7 +33,9 @@ class I3DClipDataset:
         p_gauss_noise: float = 0.1,
         p_jpeg: float = 0.3,
         p_erase: float = 0.3,
-        geo_jitter: float = 1.0,   # clip-consistent similarity jitter strength; 0 off
+        geo_jitter: float = 0.0,   # clip-consistent similarity jitter; OPT-IN (0 off):
+        # full-scale capstone A/B left it unproven (docs/PERF.md round-5
+        # serving-gap table) — enable deliberately, not by default
         seed: int = 0,
         clip_step: Optional[int] = None,  # writer stride; None = CLIP_STEP
     ):
